@@ -1,0 +1,223 @@
+"""BM25 top-k retrieval over the block-compressed index (SURVEY.md §2 O11-O15).
+
+The reference hands queries to Lucene's SimpleSearcher over JNI
+(/root/reference/src/searcher/lucene/searcher.rs:86-90) where analysis, BM25
+scoring (k1=0.9, b=0.4), WAND pruning and the top-k heap all happen. Here the
+same lifecycle is a Spark plan:
+
+  queries -> analyze (SAME UDF as indexing) -> (qid, term, qtf)
+  -> broadcast-join dictionary (idf, per-term upper bound)        [O11]
+  -> isin-filter + join postings blocks (parquet min/max pruning) [O12]
+  -> score                                                        [O13]
+  -> top-k with Lucene's tie-break (score desc, doc_id asc)       [O14]
+
+Two scoring strategies, both returning identical rankings:
+
+* ``bm25_search`` (exhaustive, arbitrarily scalable): decode every matching
+  block in ``mapInPandas`` -> partial scores -> groupBy(qid, doc_id) sum ->
+  window top-k. One shuffle on (qid, doc_id), one on qid. Use for huge fan-out
+  or head-term-dominated workloads: nothing ever materializes one query's full
+  postings in a single task.
+
+* ``bm25_search_pruned`` (block-max pruned, per-query task): all of a query's
+  blocks group to one ``applyInPandas`` task which runs a lossless
+  MaxScore/block-max algorithm in NumPy — blocks whose upper bound cannot reach
+  the running top-k threshold are never decoded. Queries parallelize across
+  tasks (the reference's batch_search threads ⇔ Spark tasks,
+  /root/reference/src/searcher/lucene/searcher.rs:101-154). Preferred for
+  interactive k<<corpus retrieval; falls back to the exhaustive plan's answer
+  exactly (tested rank-identical).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rustserini_spark.operators.compress import bm25_impact, decode_posting_block
+from rustserini_spark.operators.index_build import BM25Index, tokens_col_for
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
+
+
+def query_terms(queries: DataFrame, analyzer: str, qid_col: str = "qid", query_col: str = "query") -> DataFrame:
+    """(qid, term, qtf): a duplicated query term scores once per occurrence in
+    Lucene's BooleanQuery, i.e. its contribution is multiplied by qtf."""
+    tok = tokens_col_for(analyzer)
+    return (
+        queries.select(F.col(qid_col).cast("string").alias("qid"), tok(query_col).alias("terms"))
+        .select("qid", F.explode("terms").alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def _matching_blocks(index: BM25Index, qt: DataFrame) -> DataFrame:
+    """Join a (qid, term, qtf) frame with dictionary + posting blocks.
+
+    The distinct-term isin filter is collected to the driver (query term sets
+    are tiny) so Catalyst pushes it into the parquet scan — at scale this is
+    what prunes a term-bucketed postings table down to a handful of files.
+    """
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        return None
+    dict_sub = index.dictionary.filter(F.col("term").isin(terms)).select("term", "idf")
+    blocks = index.postings.filter(F.col("term").isin(terms))
+    return blocks.join(F.broadcast(qt), "term").join(F.broadcast(dict_sub), "term")
+
+
+def _empty_result(spark) -> DataFrame:
+    return spark.createDataFrame([], RESULT_SCHEMA)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "score", "rank")
+    )
+
+
+def bm25_search(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exhaustive distributed scoring (no pruning): rank-identical reference
+    semantics, scales to any posting-list size."""
+    qt = query_terms(queries, index.analyzer)
+    joined = _matching_blocks(index, qt)
+    if joined is None:
+        return _empty_result(queries.sparkSession)
+    k1, b, avgdl = index.k1, index.b, (index.avgdl or 1.0)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids, docs, scores = [], [], []
+            for row in pdf.itertuples(index=False):
+                d, t, l = decode_posting_block(row.postings_bin, row.n_docs)
+                imp = bm25_impact(t, l, row.idf, k1, b, avgdl) * row.qtf
+                qids.append(np.full(d.size, row.qid, dtype=object))
+                docs.append(d)
+                scores.append(imp)
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(qids),
+                    "doc_id": np.concatenate(docs),
+                    "partial": np.concatenate(scores),
+                }
+            )
+
+    partial_schema = "qid string, doc_id long, partial double"
+    scored = (
+        joined.mapInPandas(score_batches, partial_schema)
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def _prune_and_score(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
+    """Lossless block-max MaxScore for one query's blocks (pure NumPy).
+
+    1. Seed threshold θ by exactly scoring the docs of the single best block.
+    2. Candidate generation: a block is skipped when
+       qtf·max_impact(block) + Σ_{other terms} U < θ — any doc living only in
+       skipped blocks provably cannot reach the top-k.
+    3. Exact verification: candidates are scored exactly against every term,
+       decoding only blocks whose docid range intersects the candidate set.
+    """
+    qid = pdf["qid"].iloc[0]
+    # per-term weighted upper bound U_t = qtf * max block impact
+    by_term: dict[str, pd.DataFrame] = {t: g for t, g in pdf.groupby("term")}
+    U = {t: float(g["qtf"].iloc[0]) * float(g["max_impact"].max()) for t, g in by_term.items()}
+    sumU = sum(U.values())
+
+    decoded: dict[tuple, tuple] = {}
+
+    def decode(row) -> tuple[np.ndarray, np.ndarray]:
+        key = (row.term, row.salt, row.block_seq)
+        hit = decoded.get(key)
+        if hit is None:
+            d, t, l = decode_posting_block(row.postings_bin, row.n_docs)
+            imp = bm25_impact(t, l, row.idf, k1, b, avgdl) * row.qtf
+            hit = (d, imp)
+            decoded[key] = hit
+        return hit
+
+    def exact_scores(cand: np.ndarray) -> np.ndarray:
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for _, g in by_term.items():
+            for row in g.itertuples(index=False):
+                lo = np.searchsorted(cand, row.first_doc, side="left")
+                hi = np.searchsorted(cand, row.last_doc, side="right")
+                if lo == hi:
+                    continue
+                d, imp = decode(row)
+                idx = np.searchsorted(cand, d)
+                idx_ok = idx < cand.size
+                match = np.zeros(d.size, dtype=bool)
+                match[idx_ok] = cand[idx[idx_ok]] == d[idx_ok]
+                scores[idx[match]] += imp[match]
+        return scores
+
+    # --- seed θ with the overall best block
+    best = pdf.loc[pdf["max_impact"].idxmax()]
+    seed_docs = np.unique(decode(best)[0])
+    seed_scores = exact_scores(seed_docs)
+    theta = 0.0
+    if seed_docs.size >= k:
+        theta = float(np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k])
+
+    # --- candidate generation with block skipping
+    cand_parts = [seed_docs]
+    for t, g in by_term.items():
+        others = sumU - U[t]
+        qtf = float(g["qtf"].iloc[0])
+        for row in g.itertuples(index=False):
+            if qtf * row.max_impact + others < theta:
+                continue  # block provably cannot lift any doc into top-k
+            cand_parts.append(decode(row)[0])
+    cand = np.unique(np.concatenate(cand_parts))
+
+    scores = exact_scores(cand)
+    n = min(k, cand.size)
+    if n == 0:
+        return pd.DataFrame(columns=["qid", "doc_id", "score", "rank"])
+    # top-k with score desc, doc_id asc tie-break (Lucene order)
+    order = np.lexsort((cand, -scores))[:n]
+    return pd.DataFrame(
+        {
+            "qid": qid,
+            "doc_id": cand[order],
+            "score": scores[order],
+            "rank": np.arange(1, n + 1, dtype=np.int32),
+        }
+    )
+
+
+def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
+    qt = query_terms(queries, index.analyzer)
+    joined = _matching_blocks(index, qt)
+    if joined is None:
+        return _empty_result(queries.sparkSession)
+    k1, b, avgdl = index.k1, index.b, (index.avgdl or 1.0)
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=["qid", "doc_id", "score", "rank"])
+        return _prune_and_score(pdf, k, k1, b, avgdl)
+
+    return joined.groupBy("qid").applyInPandas(per_query, RESULT_SCHEMA)

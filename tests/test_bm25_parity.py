@@ -1,0 +1,122 @@
+"""End-to-end rank/score parity: Spark engine vs pure-NumPy oracle.
+
+Mirrors the reference's parity-test strategy
+(/root/reference/tests/searcher_test.rs:81-125): fixed corpus, fixed queries,
+assert identical top-k docids and scores. Runs over the driver's documents
+table (500 docs at sf0.001) plus a tiny hand-checkable corpus.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oracle.bm25_ref import bm25_rank
+from rustserini_spark.operators.index_build import build_index, expected_idf
+from rustserini_spark.operators.search import bm25_search, bm25_search_pruned
+
+TINY_CORPUS = {
+    0: "The presence of communication amid scientific minds was equally important "
+    "to the success of the Manhattan Project as scientific intellect was.",
+    1: "The Manhattan Project and its atomic bomb helped bring an end to World War II.",
+    2: "Essay on the manhattan project: the manhattan project was the project to "
+    "develop the first nuclear weapon.",
+    3: "Nor will it attempt to substitute for the courtroom.",
+    4: "Scientific minds gather at the conference.",
+    5: "",
+    6: "communication communication communication",
+}
+
+QUERIES = [
+    ("q0", "did scientific minds lead to the success of the manhattan project"),
+    ("q1", "communication"),
+    ("q2", "nuclear weapon essay"),
+    ("q3", "zzzunknownterm"),
+    ("q4", ""),
+    ("q5", "manhattan manhattan"),  # duplicated query term => doubled weight
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(TINY_CORPUS), "text": list(TINY_CORPUS.values())})
+    )
+    return build_index(spark, docs, block_size=4, max_group=8)
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    return spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+
+
+def _collect(result_df):
+    out = {}
+    for r in result_df.collect():
+        out.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def _assert_parity(got, k=10):
+    for qid, query in QUERIES:
+        expected = bm25_rank(TINY_CORPUS, query, k=k)
+        actual = got.get(qid, [])
+        assert len(actual) == len(expected), (qid, actual, expected)
+        for (rank, doc, score), (edoc, escore) in zip(actual, expected):
+            assert doc == edoc, (qid, rank, actual, expected)
+            assert score == pytest.approx(escore, abs=1e-9)
+
+
+def test_index_stats(tiny_index):
+    assert tiny_index.n_docs == 7
+    dls = {r.doc_id: r.dl for r in tiny_index.doclen.collect()}
+    assert dls[5] == 0 and dls[6] == 3
+    d = {r.term: r for r in tiny_index.dictionary.collect()}
+    assert d["manhattan"].df == 3
+    assert d["manhattan"].idf == pytest.approx(expected_idf(3, 7), abs=1e-12)
+    assert d["commun"].cf == 4  # 1 in doc0 + 3 in doc6
+
+
+def test_exhaustive_matches_oracle(tiny_index, queries_df):
+    _assert_parity(_collect(bm25_search(tiny_index, queries_df, k=10)))
+
+
+def test_pruned_matches_oracle(tiny_index, queries_df):
+    _assert_parity(_collect(bm25_search_pruned(tiny_index, queries_df, k=10)))
+
+
+def test_pruned_equals_exhaustive_small_k(tiny_index, queries_df):
+    a = _collect(bm25_search(tiny_index, queries_df, k=2))
+    b = _collect(bm25_search_pruned(tiny_index, queries_df, k=2))
+    assert a == b
+
+
+def test_canonical_query_top1(tiny_index, queries_df):
+    # reference parity style: top-1 docid for the canonical Manhattan-Project
+    # query is doc 0 (/root/reference/tests/searcher_test.rs:99)
+    got = _collect(bm25_search_pruned(tiny_index, queries_df, k=10))
+    assert got["q0"][0][1] == 0
+
+
+@pytest.mark.parametrize("pruned", [False, True])
+def test_parity_on_documents_table(spark, documents, pruned):
+    """500-doc driver corpus, multi-term queries sampling head/mid/tail terms."""
+    corpus = {r.doc_id: r.text for r in documents.collect()}
+    queries = [
+        ("d0", "spark query window merge"),
+        ("d1", "customer the batch value"),
+        ("d2", "slow small filter"),
+        ("d3", "hash join stream data"),
+    ]
+    qdf = spark.createDataFrame(pd.DataFrame(queries, columns=["qid", "query"]))
+    index = build_index(spark, documents, block_size=32, max_group=64)
+    fn = bm25_search_pruned if pruned else bm25_search
+    got = _collect(fn(index, qdf, k=10))
+    for qid, query in queries:
+        expected = bm25_rank(corpus, query, k=10)
+        actual = got.get(qid, [])
+        assert [a[1] for a in actual] == [e[0] for e in expected], qid
+        np.testing.assert_allclose(
+            [a[2] for a in actual], [e[1] for e in expected], atol=1e-9
+        )
