@@ -1,0 +1,98 @@
+"""Text-analysis column functions for large-scale corpus curation.
+
+All functions here are pure Catalyst expressions (whole-stage codegen, zero
+Python) over the SQL-parity tokenizer, so each has an exact DuckDB oracle in
+__spark_entry__.oracle_sql(). They extend the reference's corpus-prep surface
+(sanitize S5, concat A2 — /root/reference/examples/faiss_embedding_writer.rs:80-82)
+with the curation ops a 100 TB training-data pipeline needs: token counting,
+quality scoring, language ID, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rustserini_spark.functions.parity import r4
+from rustserini_spark.analysis import LUCENE_ENGLISH_STOPWORDS
+from rustserini_spark.analysis.analyzer import simple_tokens_col
+
+# language marker words for the n-gram/stopword-heuristic language id
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "werden"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "es", "un", "una", "para", "por", "con", "del"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")
+
+_STOP_SORTED = tuple(sorted(LUCENE_ENGLISH_STOPWORDS))
+
+
+def sanitize_col(text: Column | str) -> Column:
+    """Reference S5: strip double quotes and backslashes
+    (/root/reference/examples/faiss_embedding_writer.rs:80-82)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, '["\\\\]', "")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(simple_tokens_col(text))
+
+
+def quality_features(text_col: str = "text") -> list[Column]:
+    """n_chars, n_tokens, avg_token_len, stopword_ratio, distinct_ratio —
+    the length/stopword-ratio quality heuristics used to filter web corpora."""
+    toks = simple_tokens_col(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return [
+        F.length(F.col(text_col)).alias("n_chars"),
+        n.alias("n_tokens"),
+        r4(F.when(n > 0, total_len / nd).otherwise(F.lit(0.0))).alias("avg_token_len"),
+        r4(
+            F.when(n > 0, _count_in(toks, _STOP_SORTED) / nd).otherwise(F.lit(0.0))
+        ).alias("stopword_ratio"),
+        r4(
+            F.when(n > 0, F.size(F.array_distinct(toks)) / nd).otherwise(F.lit(0.0))
+        ).alias("distinct_ratio"),
+    ]
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Marker-word-count argmax over {en,de,fr,es}; 'und' when no marker hits.
+    Ties resolve in fixed order en > de > fr > es (same CASE shape as the SQL
+    oracle, so predictions match bit-for-bit)."""
+    toks = simple_tokens_col(text)
+    counts = {lang: _count_in(toks, LANG_MARKERS[lang]) for lang in _LANG_ORDER}
+    expr = F.lit("und")
+    # build CASE from last to first so earlier langs win ties
+    for i in range(len(_LANG_ORDER) - 1, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = counts[lang] > 0
+        for other in _LANG_ORDER[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 over the space-joined token stream.
+    Whitespace/punctuation/case changes do not alter it; any token change does."""
+    return F.md5(F.concat_ws(" ", simple_tokens_col(text)))
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """n-gram (word shingle) array from the simple token stream; empty when the
+    document has fewer than n tokens."""
+    toks = simple_tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    make = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(
+        F.size(toks) >= n, F.transform(idx, make)
+    ).otherwise(F.array().cast("array<string>"))
