@@ -27,6 +27,7 @@ from rustserini_spark.functions.text import (
     fingerprint_col,
     lang_id_col,
     quality_features,
+    with_tokens,
 )
 from rustserini_spark.operators.dedup import (
     exact_dedup,
@@ -257,9 +258,7 @@ def _queries_df(spark: SparkSession) -> DataFrame:
 
 
 def _simple_tokens(spark, sf_dir):
-    from rustserini_spark.analysis import simple_tokens_col
-
-    return _docs(spark, sf_dir).select("doc_id", simple_tokens_col("text").alias("toks"))
+    return with_tokens(_docs(spark, sf_dir)).select("doc_id", "toks")
 
 
 def q_term_frequency(spark, sf_dir):
@@ -319,18 +318,18 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    out = _docs(spark, sf_dir).select("doc_id", *quality_features("text"))
+    out = with_tokens(_docs(spark, sf_dir)).select("doc_id", *quality_features("text", "toks"))
     return out.withColumn("n_chars", F.col("n_chars").cast("long")).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
     )
 
 
 def q_lang_id(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", lang_id_col("text").alias("lang_pred"))
+    return with_tokens(_docs(spark, sf_dir)).select("doc_id", lang_id_col("toks").alias("lang_pred"))
 
 
 def q_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select("doc_id", fingerprint_col("text").alias("fp"))
+    return with_tokens(_docs(spark, sf_dir)).select("doc_id", fingerprint_col("toks").alias("fp"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

@@ -1,0 +1,91 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Runs the engine's flagship operations at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Times are end-to-end wall seconds per operation
+(plan + execute + materialize counts), excluding Spark session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from rustserini_spark import get_spark
+    from rustserini_spark.operators.index_build import build_index
+    from rustserini_spark.operators.search import bm25_search, bm25_search_pruned
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    queries_df = entry_mod._queries_df(spark)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. index build (the reference's lucene_indexer analog), forced to
+    #    materialize every posting block
+    def _build():
+        return build_index(spark, docs, analyzer="porter").materialize()
+
+    index = timed("index_build_porter", _build)
+    extra["index_docs_per_sec"] = round(n_docs / timings["index_build_porter"], 1)
+
+    # 2. query paths over the built index
+    timed("bm25_pruned_topk", lambda: bm25_search_pruned(index, queries_df, k=10).count())
+    timed("bm25_exhaustive_topk", lambda: bm25_search(index, queries_df, k=10).count())
+
+    # 3. curation / dedup / similarity operators from the entry contract
+    q = entry_mod.queries()
+    for name in (
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_groups",
+        "text_quality",
+        "lang_id",
+        "fingerprint",
+        "embedding_cosine_topk",
+        "ann_lsh_topk",
+    ):
+        timed(name, lambda name=name: q[name](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": extra,
+                "n_docs": n_docs,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

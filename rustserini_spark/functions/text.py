@@ -6,16 +6,21 @@ __spark_entry__.oracle_sql(). They extend the reference's corpus-prep surface
 (sanitize S5, concat A2 — /root/reference/examples/faiss_embedding_writer.rs:80-82)
 with the curation ops a 100 TB training-data pipeline needs: token counting,
 quality scoring, language ID, and document fingerprinting.
+
+Every function takes a *tokens array column* (produce it once with
+``with_tokens``): materializing the token array in one projection keeps the
+regex tokenizer from being re-evaluated per consuming expression — at corpus
+scale that difference is O(tokens) vs O(tokens^2) regex work per document.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rustserini_spark.functions.parity import r4
 from rustserini_spark.analysis import LUCENE_ENGLISH_STOPWORDS
 from rustserini_spark.analysis.analyzer import simple_tokens_col
+from rustserini_spark.functions.parity import r4
 
 # language marker words for the n-gram/stopword-heuristic language id
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -29,6 +34,11 @@ _LANG_ORDER = ("en", "de", "fr", "es")
 _STOP_SORTED = tuple(sorted(LUCENE_ENGLISH_STOPWORDS))
 
 
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "toks") -> DataFrame:
+    """Materialize the SQL-parity token array once for downstream functions."""
+    return df.withColumn(out_col, simple_tokens_col(text_col))
+
+
 def sanitize_col(text: Column | str) -> Column:
     """Reference S5: strip double quotes and backslashes
     (/root/reference/examples/faiss_embedding_writer.rs:80-82)."""
@@ -36,18 +46,22 @@ def sanitize_col(text: Column | str) -> Column:
     return F.regexp_replace(c, '["\\\\]', "")
 
 
+def _as_col(tokens: Column | str) -> Column:
+    return F.col(tokens) if isinstance(tokens, str) else tokens
+
+
 def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
-def token_count_col(text: Column | str) -> Column:
-    return F.size(simple_tokens_col(text))
+def token_count_col(tokens: Column | str) -> Column:
+    return F.size(_as_col(tokens))
 
 
-def quality_features(text_col: str = "text") -> list[Column]:
+def quality_features(text_col: str = "text", tokens: Column | str = "toks") -> list[Column]:
     """n_chars, n_tokens, avg_token_len, stopword_ratio, distinct_ratio —
     the length/stopword-ratio quality heuristics used to filter web corpora."""
-    toks = simple_tokens_col(text_col)
+    toks = _as_col(tokens)
     n = F.size(toks)
     nd = n.cast("double")
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -64,11 +78,11 @@ def quality_features(text_col: str = "text") -> list[Column]:
     ]
 
 
-def lang_id_col(text: Column | str) -> Column:
+def lang_id_col(tokens: Column | str = "toks") -> Column:
     """Marker-word-count argmax over {en,de,fr,es}; 'und' when no marker hits.
     Ties resolve in fixed order en > de > fr > es (same CASE shape as the SQL
     oracle, so predictions match bit-for-bit)."""
-    toks = simple_tokens_col(text)
+    toks = _as_col(tokens)
     counts = {lang: _count_in(toks, LANG_MARKERS[lang]) for lang in _LANG_ORDER}
     expr = F.lit("und")
     # build CASE from last to first so earlier langs win ties
@@ -81,16 +95,16 @@ def lang_id_col(text: Column | str) -> Column:
     return expr
 
 
-def fingerprint_col(text: Column | str) -> Column:
+def fingerprint_col(tokens: Column | str = "toks") -> Column:
     """Normalized-content fingerprint: md5 over the space-joined token stream.
     Whitespace/punctuation/case changes do not alter it; any token change does."""
-    return F.md5(F.concat_ws(" ", simple_tokens_col(text)))
+    return F.md5(F.concat_ws(" ", _as_col(tokens)))
 
 
-def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """n-gram (word shingle) array from the simple token stream; empty when the
-    document has fewer than n tokens."""
-    toks = simple_tokens_col(text)
+def shingles_col(tokens: Column | str = "toks", n: int = 3) -> Column:
+    """n-gram (word shingle) array from a materialized token column; empty when
+    the document has fewer than n tokens."""
+    toks = _as_col(tokens)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     make = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
     return F.when(

@@ -24,8 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from rustserini_spark.functions.parity import r4
-from rustserini_spark.functions.text import shingles_col
-from rustserini_spark.analysis.analyzer import simple_tokens_col
+from rustserini_spark.functions.text import shingles_col, with_tokens
 
 N_MINHASHES = 16
 N_BANDS = 8  # rows-per-band = 2
@@ -42,12 +41,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct — the exploded shingle-inverted relation."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles_col(text_col)).alias("shingle"))
-        .distinct()
+def doc_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) — the exploded shingle-inverted relation.
+
+    ``distinct=False`` skips a whole shuffle for consumers where multiset vs
+    set makes no difference (minhash: min over duplicates == min over set).
+    """
+    toks = with_tokens(docs, text_col)
+    out = toks.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col("toks", n)).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(shingled: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
@@ -80,7 +86,9 @@ def minhash_lsh_pairs(
     to the exact-dedup case which is handled upstream.
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(doc_shingles(docs, text_col, id_col), n_hashes)
+    # distinct=True: dedup shingles BEFORE the 16-way md5 min-agg — cheaper to
+    # shuffle-dedup once than to md5 every duplicate 16 times.
+    sig = minhash_signatures(doc_shingles(docs, text_col, id_col, distinct=True), n_hashes)
     bands = [
         F.struct(
             F.lit(bi).alias("band_id"),
@@ -140,12 +148,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text_col: str = "text", n_bits: int = 16):
+def simhash_col(tokens="toks", n_bits: int = 16):
     """n-bit simhash: bit_b = sign of sum over token occurrences of +-1, where
     the +-1 projection for (token, b) is the top bit of md5(token || ':' || b).
-    Engine-agnostic: md5 + substring only.
+    Engine-agnostic: md5 + substring only. Takes a materialized token column.
     """
-    toks = simple_tokens_col(text_col)
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
 
     def _step(bpos: int):
         # +1 when first hex nibble of md5(tok:b) is 0-7 (MSB clear), else -1
@@ -173,7 +181,8 @@ def simhash_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = 
     """(simhash, n_docs, keeper): docs sharing an identical 16-bit simhash are
     near-dup candidates (at scale: bucket by simhash, then exact-verify)."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), simhash_col(text_col).alias("simhash"))
+        with_tokens(docs, text_col)
+        .select(F.col(id_col).alias("doc_id"), simhash_col("toks").alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
     )

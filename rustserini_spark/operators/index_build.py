@@ -80,6 +80,15 @@ class BM25Index:
     block_size: int = BLOCK_SIZE_DEFAULT
     meta: dict = field(default_factory=dict)
 
+    def materialize(self) -> "BM25Index":
+        """Persist + force the query-time tables (postings, dictionary) so
+        searches hit cached blocks instead of re-running the build DAG."""
+        self.postings = self.postings.persist()
+        self.postings.count()
+        self.dictionary = self.dictionary.persist()
+        self.dictionary.count()
+        return self
+
 
 def tokenize_docs(docs: DataFrame, text_col: str, id_col: str, analyzer: str) -> DataFrame:
     """(doc_id: long, tokens: array<string>) — the shared analysis entry point."""
@@ -116,7 +125,19 @@ def build_index(
     block_size: int = BLOCK_SIZE_DEFAULT,
     max_group: int = MAX_GROUP_DEFAULT,
 ) -> BM25Index:
-    tokens_df = tokenize_docs(docs, text_col, id_col, analyzer)
+    # A corpus arriving in fewer partitions than the cluster has task slots
+    # serializes the (pandas-UDF) analysis stage; re-split it first. On a real
+    # cluster the input table should already be partitioned/bucketed and this
+    # is a no-op.
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+
+    # Cache the analyzed tokens: three downstream consumers (stats, tf,
+    # doclen) would otherwise re-run the pandas-UDF analysis per action. At
+    # true 10^12 scale this cache becomes a checkpointed stage table
+    # (sources/catalog.py) instead of executor memory.
+    tokens_df = tokenize_docs(docs, text_col, id_col, analyzer).persist()
 
     # Doc length from tokens_df (not from the exploded table) so empty docs
     # still count toward N/avgdl, matching Lucene's maxDoc-based stats.
@@ -127,7 +148,7 @@ def build_index(
     n_docs = int(stats_row["n_docs"])
     avgdl = float(stats_row["avgdl"] or 0.0)
 
-    tf = term_frequencies(tokens_df)
+    tf = term_frequencies(tokens_df).persist()
 
     dictionary = (
         tf.groupBy("term")

@@ -54,7 +54,12 @@ RESULT_SCHEMA = T.StructType(
 
 def query_terms(queries: DataFrame, analyzer: str, qid_col: str = "qid", query_col: str = "query") -> DataFrame:
     """(qid, term, qtf): a duplicated query term scores once per occurrence in
-    Lucene's BooleanQuery, i.e. its contribution is multiplied by qtf."""
+    Lucene's BooleanQuery, i.e. its contribution is multiplied by qtf.
+
+    Distributed variant — use for huge query batches (millions of rows).
+    Interactive search uses query_terms_local instead: a handful of query
+    strings does not justify a Python-UDF stage across the cluster.
+    """
     tok = tokens_col_for(analyzer)
     return (
         queries.select(F.col(qid_col).cast("string").alias("qid"), tok(query_col).alias("terms"))
@@ -64,16 +69,38 @@ def query_terms(queries: DataFrame, analyzer: str, qid_col: str = "qid", query_c
     )
 
 
-def _matching_blocks(index: BM25Index, qt: DataFrame) -> DataFrame:
-    """Join a (qid, term, qtf) frame with dictionary + posting blocks.
+def query_terms_local(queries: DataFrame, analyzer: str, qid_col: str = "qid", query_col: str = "query"):
+    """Driver-side query analysis with the SAME shared analyze function the
+    index build uses (parity by construction). Returns (rows, terms): rows =
+    [(qid, term, qtf)], terms = sorted distinct term list for scan pruning."""
+    from collections import Counter
 
-    The distinct-term isin filter is collected to the driver (query term sets
-    are tiny) so Catalyst pushes it into the parquet scan — at scale this is
+    from rustserini_spark.analysis import analyze_text, simple_tokenize_text
+
+    analyze = analyze_text if analyzer == "porter" else simple_tokenize_text
+    rows = []
+    terms = set()
+    for r in queries.select(qid_col, query_col).collect():
+        c = Counter(analyze(r[query_col]))
+        for term, qtf in c.items():
+            rows.append((str(r[qid_col]), term, qtf))
+            terms.add(term)
+    return rows, sorted(terms)
+
+
+def _matching_blocks(index: BM25Index, queries: DataFrame):
+    """Join the analyzed query set with dictionary + posting blocks.
+
+    Query analysis happens driver-side (tiny) and the term list becomes an
+    isin filter that Catalyst pushes into the parquet scan — at scale this is
     what prunes a term-bucketed postings table down to a handful of files.
+    The (qid, term, qtf) frame is a single-partition broadcast.
     """
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    spark = queries.sparkSession
+    qt_rows, terms = query_terms_local(queries, index.analyzer)
     if not terms:
         return None
+    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf long").coalesce(1)
     dict_sub = index.dictionary.filter(F.col("term").isin(terms)).select("term", "idf")
     blocks = index.postings.filter(F.col("term").isin(terms))
     return blocks.join(F.broadcast(qt), "term").join(F.broadcast(dict_sub), "term")
@@ -95,8 +122,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 def bm25_search(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
     """Exhaustive distributed scoring (no pruning): rank-identical reference
     semantics, scales to any posting-list size."""
-    qt = query_terms(queries, index.analyzer)
-    joined = _matching_blocks(index, qt)
+    joined = _matching_blocks(index, queries)
     if joined is None:
         return _empty_result(queries.sparkSession)
     k1, b, avgdl = index.k1, index.b, (index.avgdl or 1.0)
@@ -209,8 +235,7 @@ def _prune_and_score(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: floa
 
 
 def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
-    qt = query_terms(queries, index.analyzer)
-    joined = _matching_blocks(index, qt)
+    joined = _matching_blocks(index, queries)
     if joined is None:
         return _empty_result(queries.sparkSession)
     k1, b, avgdl = index.k1, index.b, (index.avgdl or 1.0)
