@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rustserini_spark.analysis import analyze_col, simple_tokens_col
-from rustserini_spark.operators.compress import BLOCK_SIZE_DEFAULT, make_blocks
+from rustserini_spark.operators.compress import BLOCK_SIZE_DEFAULT, encode_group_blocks
 
 K1_DEFAULT = 0.9  # Anserini SimpleSearcher defaults (reference delegation at
 B_DEFAULT = 0.4  # /root/reference/src/searcher/lucene/searcher.rs:35)
@@ -114,6 +114,42 @@ def lucene_idf(df_col, n_docs: int):
     return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
 
 
+def _salted_postings(
+    tf_with_dict: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    max_group: int,
+) -> DataFrame:
+    """(term, doc_id, dl, tf, df, idf) -> compressed posting blocks, one row per
+    (term, salt, block). Salt count adapts to df so no group exceeds max_group."""
+    n_salts = F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(max_group))).cast("int")
+    salted = tf_with_dict.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), n_salts).cast("int")
+    )
+    safe_avgdl = avgdl if avgdl > 0 else 1.0
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = encode_group_blocks(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["dl"].to_numpy(),
+            float(pdf["idf"].iloc[0]),
+            k1,
+            b,
+            safe_avgdl,
+            block_size=block_size,
+        )
+        n = len(cols["block_seq"])
+        return pd.DataFrame(
+            {"term": [pdf["term"].iloc[0]] * n, "salt": [int(pdf["salt"].iloc[0])] * n, **cols},
+            columns=[f.name for f in POSTINGS_SCHEMA.fields],
+        )
+
+    return salted.groupBy("term", "salt").applyInPandas(encode_group, POSTINGS_SCHEMA)
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -160,33 +196,7 @@ def build_index(
     # exceeds max_group postings. Tail terms (the vast majority) get salt=0 —
     # a single group, no extra shuffle cost.
     tf_with_df = tf.join(dictionary.select("term", "df", "idf"), "term")
-    n_salts = F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(max_group))).cast("int")
-    salted = tf_with_df.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), n_salts).cast("int")
-    )
-
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        rows = []
-        for blk in make_blocks(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["dl"].to_numpy(),
-            idf,
-            k1,
-            b,
-            avgdl if avgdl > 0 else 1.0,
-            block_size=block_size,
-        ):
-            rows.append({"term": term, "salt": salt, **blk})
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in POSTINGS_SCHEMA.fields],
-        )
-
-    postings = salted.groupBy("term", "salt").applyInPandas(encode_group, POSTINGS_SCHEMA)
+    postings = _salted_postings(tf_with_df, avgdl, k1, b, block_size, max_group)
 
     # Per-term global score upper bound for MaxScore/WAND term ordering.
     dictionary = dictionary.join(
@@ -210,3 +220,160 @@ def build_index(
 
 def expected_idf(df: int, n_docs: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ------------------------------------------------- checkpointed (resumable) --
+
+
+def build_index_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    checkpoint_dir: str,
+    input_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "porter",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    max_group: int = MAX_GROUP_DEFAULT,
+    postings_buckets: int | None = None,
+) -> tuple[BM25Index, list]:
+    """Resumable index build: every stage checkpoints through the Catalog with
+    per-partition lineage; a rerun skips stages whose fingerprint matches (the
+    north-rule resume semantics — kill it after any stage, rerun, identical
+    final tables). Returns (index, [StageResult...]).
+
+    Physical layout: the postings table is repartitioned by term and sorted
+    within files by (term, salt, block_seq) so a query's isin(term) filter
+    prunes parquet row groups via min/max stats.
+    """
+    from rustserini_spark.sources.catalog import Catalog, fingerprint
+
+    cat = Catalog(checkpoint_dir)
+    results = []
+    fp_base = fingerprint("v1", input_id, analyzer, text_col, id_col)
+
+    fp_tok = fingerprint(fp_base, "tokens")
+    fp_tf = fingerprint(fp_tok, "tf")
+    fp_dl = fingerprint(fp_tok, "doclen")
+
+    need_tf = not cat.is_current("tf", fp_tf)
+    need_dl = not cat.is_current("doclen", fp_dl)
+    if need_tf or need_dl:
+        parallelism = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism)
+        tokens_df = tokenize_docs(docs, text_col, id_col, analyzer).persist()
+        results.append(
+            cat.write_stage("doclen", tokens_df.select("doc_id", F.size("tokens").alias("dl")), fp_dl)
+        )
+        results.append(cat.write_stage("tf", term_frequencies(tokens_df), fp_tf))
+        tokens_df.unpersist()
+    else:
+        results.append(cat.write_stage("doclen", None, fp_dl))  # returns reused
+        results.append(cat.write_stage("tf", None, fp_tf))
+
+    doclen = cat.read(spark, "doclen")
+    tf = cat.read(spark, "tf")
+
+    stats = cat.read_json("stats.json")
+    if not stats or stats.get("fingerprint") != fp_dl:
+        row = doclen.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
+        stats = {
+            "n_docs": int(row["n"]),
+            "avgdl": float(row["a"] or 0.0),
+            "fingerprint": fp_dl,
+        }
+        cat.write_json("stats.json", stats)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    fp_dict = fingerprint(fp_tf, "dictionary", n_docs)
+    if not cat.is_current("dictionary", fp_dict):
+        dictionary = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            .withColumn("idf", lucene_idf(F.col("df"), n_docs))
+        )
+        results.append(cat.write_stage("dictionary", dictionary, fp_dict))
+    else:
+        results.append(cat.write_stage("dictionary", None, fp_dict))
+    dictionary = cat.read(spark, "dictionary")
+
+    fp_post = fingerprint(fp_dict, "postings", k1, b, block_size, max_group, avgdl)
+    if not cat.is_current("postings", fp_post):
+        tf_with_df = tf.join(dictionary.select("term", "df", "idf"), "term")
+        postings = _salted_postings(tf_with_df, avgdl, k1, b, block_size, max_group)
+        results.append(
+            cat.write_stage(
+                "postings",
+                postings,
+                fp_post,
+                repartition_by=["term"],
+                n_partitions=postings_buckets,
+                sort_within=["term", "salt", "block_seq"],
+            )
+        )
+    else:
+        results.append(cat.write_stage("postings", None, fp_post))
+    postings = cat.read(spark, "postings")
+
+    # fold the per-term global upper bound into the dictionary view at read
+    # time (cheap re-agg over the small postings-metadata columns)
+    dict_full = dictionary.join(
+        postings.groupBy("term").agg(F.max("max_impact").alias("max_impact")), "term", "left"
+    )
+
+    cat.write_json(
+        "index.json",
+        {
+            "analyzer": analyzer,
+            "k1": k1,
+            "b": b,
+            "block_size": block_size,
+            "max_group": max_group,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "fingerprints": {"tf": fp_tf, "doclen": fp_dl, "dictionary": fp_dict, "postings": fp_post},
+        },
+    )
+    index = BM25Index(
+        postings=postings,
+        dictionary=dict_full,
+        doclen=doclen,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=k1,
+        b=b,
+        analyzer=analyzer,
+        block_size=block_size,
+        meta={"checkpoint_dir": checkpoint_dir},
+    )
+    return index, results
+
+
+def load_index(spark: SparkSession, checkpoint_dir: str) -> BM25Index:
+    """Open a previously built index (the reference's LuceneSearcher::new
+    analog — /root/reference/src/searcher/lucene/searcher.rs:25-46)."""
+    from rustserini_spark.sources.catalog import Catalog
+
+    cat = Catalog(checkpoint_dir)
+    meta = cat.read_json("index.json")
+    if not meta:
+        raise FileNotFoundError(f"no index.json under {checkpoint_dir}")
+    postings = cat.read(spark, "postings")
+    dictionary = cat.read(spark, "dictionary").join(
+        postings.groupBy("term").agg(F.max("max_impact").alias("max_impact")), "term", "left"
+    )
+    return BM25Index(
+        postings=postings,
+        dictionary=dictionary,
+        doclen=cat.read(spark, "doclen"),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        k1=meta["k1"],
+        b=meta["b"],
+        analyzer=meta["analyzer"],
+        block_size=meta["block_size"],
+        meta={"checkpoint_dir": checkpoint_dir},
+    )

@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rustserini_spark.operators.compress import bm25_impact, decode_posting_block
+from rustserini_spark.operators.compress import (
+    bm25_impact,
+    decode_blocks_batch,
+    decode_posting_block,
+)
 from rustserini_spark.operators.index_build import BM25Index, tokens_col_for
 
 RESULT_SCHEMA = T.StructType(
@@ -131,18 +135,16 @@ def bm25_search(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            qids, docs, scores = [], [], []
-            for row in pdf.itertuples(index=False):
-                d, t, l = decode_posting_block(row.postings_bin, row.n_docs)
-                imp = bm25_impact(t, l, row.idf, k1, b, avgdl) * row.qtf
-                qids.append(np.full(d.size, row.qid, dtype=object))
-                docs.append(d)
-                scores.append(imp)
+            ns = pdf["n_docs"].to_numpy()
+            d, t, l, block_idx = decode_blocks_batch(list(pdf["postings_bin"]), ns)
+            idf = pdf["idf"].to_numpy(dtype=np.float64)[block_idx]
+            qtf = pdf["qtf"].to_numpy(dtype=np.float64)[block_idx]
+            imp = bm25_impact(t, l, idf, k1, b, avgdl) * qtf
             yield pd.DataFrame(
                 {
-                    "qid": np.concatenate(qids),
-                    "doc_id": np.concatenate(docs),
-                    "partial": np.concatenate(scores),
+                    "qid": pdf["qid"].to_numpy()[block_idx],
+                    "doc_id": d,
+                    "partial": imp,
                 }
             )
 
@@ -166,57 +168,62 @@ def _prune_and_score(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: floa
        decoding only blocks whose docid range intersects the candidate set.
     """
     qid = pdf["qid"].iloc[0]
+    terms = pdf["term"].to_numpy()
+    n_docs_arr = pdf["n_docs"].to_numpy(dtype=np.int64)
+    first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
+    last_doc = pdf["last_doc"].to_numpy(dtype=np.int64)
+    max_impact = pdf["max_impact"].to_numpy(dtype=np.float64)
+    qtf = pdf["qtf"].to_numpy(dtype=np.float64)
+    idf = pdf["idf"].to_numpy(dtype=np.float64)
+    bufs = list(pdf["postings_bin"])
+    weighted_max = qtf * max_impact
+
     # per-term weighted upper bound U_t = qtf * max block impact
-    by_term: dict[str, pd.DataFrame] = {t: g for t, g in pdf.groupby("term")}
-    U = {t: float(g["qtf"].iloc[0]) * float(g["max_impact"].max()) for t, g in by_term.items()}
-    sumU = sum(U.values())
+    uniq_terms, term_idx = np.unique(terms, return_inverse=True)
+    U = np.zeros(uniq_terms.size)
+    np.maximum.at(U, term_idx, weighted_max)
+    sumU = float(U.sum())
 
-    decoded: dict[tuple, tuple] = {}
-
-    def decode(row) -> tuple[np.ndarray, np.ndarray]:
-        key = (row.term, row.salt, row.block_seq)
-        hit = decoded.get(key)
-        if hit is None:
-            d, t, l = decode_posting_block(row.postings_bin, row.n_docs)
-            imp = bm25_impact(t, l, row.idf, k1, b, avgdl) * row.qtf
-            hit = (d, imp)
-            decoded[key] = hit
-        return hit
+    def decode_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch-decode the given block rows -> (doc_ids, weighted impacts, row_map)."""
+        d, t, l, bidx = decode_blocks_batch([bufs[i] for i in rows], n_docs_arr[rows])
+        rmap = rows[bidx]
+        imp = bm25_impact(t, l, idf[rmap], k1, b, avgdl) * qtf[rmap]
+        return d, imp, rmap
 
     def exact_scores(cand: np.ndarray) -> np.ndarray:
+        """Exact scoring of the candidate set: per block-row range prefilter,
+        one batch decode, one searchsorted accumulate."""
         scores = np.zeros(cand.size, dtype=np.float64)
-        for _, g in by_term.items():
-            for row in g.itertuples(index=False):
-                lo = np.searchsorted(cand, row.first_doc, side="left")
-                hi = np.searchsorted(cand, row.last_doc, side="right")
-                if lo == hi:
-                    continue
-                d, imp = decode(row)
-                idx = np.searchsorted(cand, d)
-                idx_ok = idx < cand.size
-                match = np.zeros(d.size, dtype=bool)
-                match[idx_ok] = cand[idx[idx_ok]] == d[idx_ok]
-                scores[idx[match]] += imp[match]
+        if cand.size == 0:
+            return scores
+        lo = np.searchsorted(cand, first_doc, side="left")
+        hi = np.searchsorted(cand, last_doc, side="right")
+        rows = np.flatnonzero(lo != hi)
+        if rows.size == 0:
+            return scores
+        d, imp, _ = decode_rows(rows)
+        idx = np.searchsorted(cand, d)
+        ok = idx < cand.size
+        match = np.zeros(d.size, dtype=bool)
+        match[ok] = cand[idx[ok]] == d[ok]
+        np.add.at(scores, idx[match], imp[match])
         return scores
 
     # --- seed θ with the overall best block
-    best = pdf.loc[pdf["max_impact"].idxmax()]
-    seed_docs = np.unique(decode(best)[0])
+    best_row = int(np.argmax(weighted_max))
+    seed_docs = np.unique(decode_rows(np.array([best_row]))[0])
     seed_scores = exact_scores(seed_docs)
     theta = 0.0
     if seed_docs.size >= k:
         theta = float(np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k])
 
-    # --- candidate generation with block skipping
-    cand_parts = [seed_docs]
-    for t, g in by_term.items():
-        others = sumU - U[t]
-        qtf = float(g["qtf"].iloc[0])
-        for row in g.itertuples(index=False):
-            if qtf * row.max_impact + others < theta:
-                continue  # block provably cannot lift any doc into top-k
-            cand_parts.append(decode(row)[0])
-    cand = np.unique(np.concatenate(cand_parts))
+    # --- candidate generation with block skipping:
+    # keep block b of term t when qtf·max_impact(b) + Σ_{t'≠t} U_{t'} >= θ;
+    # a doc living only in skipped blocks provably cannot reach the top-k
+    others = sumU - U[term_idx]
+    keep = np.flatnonzero(weighted_max + others >= theta)
+    cand = np.unique(np.concatenate([seed_docs, decode_rows(keep)[0]]))
 
     scores = exact_scores(cand)
     n = min(k, cand.size)

@@ -1,0 +1,88 @@
+"""Similarity search: FAISS-Flat-parity brute force vs NumPy, LSH-ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rustserini_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    dot_topk,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = sorted((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect())
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([r[1] for r in rows])
+    return ids, mat
+
+
+def _np_topk(ids, mat, q, k, metric):
+    if metric == "cos":
+        scores = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    else:
+        scores = mat @ q
+    scores = np.floor(scores * 10000 + 0.5) / 10000
+    order = np.lexsort((ids, -scores))[:k]
+    return list(zip(ids[order], scores[order]))
+
+
+@pytest.mark.parametrize("metric", ["cos", "dot"])
+def test_brute_force_matches_numpy(spark, emb, emb_np, metric):
+    ids, mat = emb_np
+    queries = emb.filter(F.col("vec_id") < 5)
+    fn = cosine_topk if metric == "cos" else dot_topk
+    res = fn(emb, queries, k=10)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, getattr(r, metric)))
+    for qid in range(5):
+        q = mat[np.where(ids == qid)[0][0]]
+        expected = _np_topk(ids, mat, q, 10, metric)
+        actual = sorted(got[qid])
+        assert [a[1] for a in actual] == [int(e[0]) for e in expected], qid
+        np.testing.assert_allclose([a[2] for a in actual], [e[1] for e in expected], atol=1e-9)
+
+
+def test_self_is_rank1_with_cos1(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = cosine_topk(emb, queries, k=1).collect()
+    for r in res:
+        assert r.vec_id == r.qid and r.cos == pytest.approx(1.0, abs=1e-4)
+
+
+def test_neardup_pairs_symmetric_threshold(emb_np, spark, emb):
+    ids, mat = emb_np
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    cos = np.floor(cos * 10000 + 0.5) / 10000
+    iu = np.triu_indices(len(ids), k=1)
+    expected = {(int(ids[i]), int(ids[j])) for i, j in zip(*iu) if cos[i, j] >= 0.5}
+    got = {(r.vec_a, r.vec_b) for r in cosine_neardup_pairs(emb, threshold=0.5).collect()}
+    assert got == expected
+
+
+def test_lsh_ann_recall(spark, emb, emb_np):
+    ids, mat = emb_np
+    dim = mat.shape[1]
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = lsh_ann_topk(emb, queries, dim=dim, k=10, n_planes=6)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    hits = total = 0
+    for qid in range(8):
+        q = mat[np.where(ids == qid)[0][0]]
+        exact = {int(v) for v, _ in _np_topk(ids, mat, q, 10, "cos")}
+        assert qid in got[qid]  # identical vector -> identical bucket -> always found
+        hits += len(got.get(qid, set()) & exact)
+        total += len(exact)
+    assert hits / total > 0.15  # approximate by construction; bucketing must beat noise

@@ -1,0 +1,92 @@
+"""Structured Streaming incremental indexing: stream -> segments -> search
+parity with a one-shot batch build, then segment-merge compaction parity."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rustserini_spark.operators.index_build import build_index
+from rustserini_spark.operators.search import bm25_search, bm25_search_pruned
+from rustserini_spark.streaming.incremental import (
+    compact_segments,
+    open_segmented_index,
+    start_incremental_indexing,
+)
+
+SCHEMA = "doc_id long, text string"
+
+QUERIES = [
+    ("s0", "spark query window merge"),
+    ("s1", "slow small filter"),
+    ("s2", "customer batch value data"),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, documents, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    inp = str(base / "input")
+    segs = str(base / "segments")
+    ckpt = str(base / "ckpt")
+    os.makedirs(inp)
+    # three arriving files = three micro-batches-worth of docs
+    docs = documents.select("doc_id", "text")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(
+            f"{inp}/chunk={i}"
+        )
+    return inp, segs, ckpt
+
+
+def _run(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.qid, []).append((r.rank, r.doc_id, round(r.score, 9)))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_stream_then_search_matches_batch_build(spark, documents, stream_dirs):
+    inp, segs, ckpt = stream_dirs
+    q = start_incremental_indexing(
+        spark, f"{inp}/chunk=*", segs, SCHEMA, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    seg_dirs = [d for d in os.listdir(segs) if d.startswith("seg_")]
+    assert len(seg_dirs) >= 1
+
+    seg_index = open_segmented_index(spark, segs)
+    assert seg_index.n_docs == documents.count()
+
+    qdf = spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+    batch_index = build_index(spark, documents.select("doc_id", "text"))
+    expected = _run(bm25_search(batch_index, qdf, k=10))
+    got = _run(bm25_search(seg_index, qdf, k=10))
+    assert got == expected
+
+
+def test_compaction_restores_pruned_path(spark, documents, stream_dirs, tmp_path_factory):
+    _inp, segs, _ckpt = stream_dirs
+    out = str(tmp_path_factory.mktemp("compacted"))
+    compacted = compact_segments(spark, segs, out)
+    assert compacted.n_docs == documents.count()
+
+    qdf = spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+    batch_index = build_index(spark, documents.select("doc_id", "text"))
+    expected = _run(bm25_search(batch_index, qdf, k=10))
+    assert _run(bm25_search(compacted, qdf, k=10)) == expected
+    assert _run(bm25_search_pruned(compacted, qdf, k=10)) == expected
+
+
+def test_streaming_is_idempotent_on_restart(spark, stream_dirs):
+    inp, segs, ckpt = stream_dirs
+    before = sorted(os.listdir(segs))
+    # restarting with the same checkpoint must not duplicate segments
+    q = start_incremental_indexing(
+        spark, f"{inp}/chunk=*", segs, SCHEMA, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    assert sorted(os.listdir(segs)) == before

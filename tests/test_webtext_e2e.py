@@ -1,0 +1,155 @@
+"""Webtext pipeline: determinism, byte-identity extraction, docmap, rank
+parity on the input_hint-shaped table, and checkpoint/resume semantics."""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from oracle.bm25_ref import bm25_rank
+from rustserini_spark.operators.index_build import load_index
+from rustserini_spark.operators.search import bm25_search_pruned
+from rustserini_spark.operators.webtext import (
+    extraction_mismatches,
+    index_webtext,
+    resolve_urls,
+)
+from rustserini_spark.sources.synth import synth_webtext
+
+N_DOCS = 400
+CANONICAL = "did scientific minds lead to the success of the manhattan project"
+
+
+@pytest.fixture(scope="module")
+def webtext(spark):
+    return synth_webtext(spark, n_docs=N_DOCS).persist()
+
+
+def test_schema(webtext):
+    assert [f.name for f in webtext.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    types = {f.name: f.dataType.simpleString() for f in webtext.schema.fields}
+    assert types == {
+        "url": "string", "warc_ts": "timestamp", "html": "binary",
+        "text": "string", "lang": "string",
+    }
+
+
+def test_deterministic_across_parallelism(spark, webtext):
+    a = {r.url: (r.text, bytes(r.html), r.lang, r.warc_ts) for r in webtext.collect()}
+    again = synth_webtext(spark, n_docs=N_DOCS, n_partitions=3)
+    b = {r.url: (r.text, bytes(r.html), r.lang, r.warc_ts) for r in again.collect()}
+    assert a == b
+    assert len(a) == N_DOCS
+
+
+def test_extraction_byte_identity(webtext):
+    assert extraction_mismatches(webtext).count() == 0
+
+
+def test_extraction_detects_corruption(spark, webtext):
+    corrupted = webtext.withColumn(
+        "text",
+        F.when(F.col("url").endswith("0000000003"), F.concat(F.col("text"), F.lit("X"))).otherwise(
+            F.col("text")
+        ),
+    )
+    bad = extraction_mismatches(corrupted).collect()
+    assert len(bad) == 1 and bad[0].url.endswith("0000000003")
+
+
+def test_docmap_dense_and_deterministic(spark, webtext):
+    from rustserini_spark.sources.synth import docmap_from_urls
+
+    dm = docmap_from_urls(webtext.filter(F.col("lang") == "en"))
+    rows = sorted((r.doc_id, r.url) for r in dm.collect())
+    n = len(rows)
+    assert [r[0] for r in rows] == list(range(n))
+    # urls sorted ascending == ordinal order
+    assert [r[1] for r in rows] == sorted(r[1] for r in rows)
+
+
+@pytest.fixture(scope="module")
+def wt_index(spark, webtext):
+    wt = index_webtext(spark, webtext, lang="en", block_size=16, max_group=64)
+    wt.index.materialize()
+    return wt
+
+
+def _oracle_corpus(webtext, docmap):
+    id_by_url = {r.url: r.doc_id for r in docmap.collect()}
+    return {
+        id_by_url[r.url]: r.text
+        for r in webtext.filter(F.col("lang") == "en").collect()
+    }
+
+
+def test_webtext_rank_parity(spark, webtext, wt_index):
+    corpus = _oracle_corpus(webtext, wt_index.docmap)
+    queries = [
+        ("c0", CANONICAL),
+        ("c1", "atomic bomb world war"),
+        ("c2", "w0003 w0007 research"),
+        ("c3", "history of modern physics"),
+    ]
+    qdf = spark.createDataFrame(pd.DataFrame(queries, columns=["qid", "query"]))
+    got = {}
+    for r in bm25_search_pruned(wt_index.index, qdf, k=10).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    for qid, query in queries:
+        expected = bm25_rank(corpus, query, k=10)
+        actual = sorted(got.get(qid, []))
+        assert [a[1] for a in actual] == [e[0] for e in expected], qid
+        for (_, _, s), (_, es) in zip(actual, expected):
+            assert s == pytest.approx(es, abs=1e-9)
+
+
+def test_canonical_query_hits_doc0(spark, webtext, wt_index):
+    qdf = spark.createDataFrame([("cq", CANONICAL)], "qid string, query string")
+    res = resolve_urls(bm25_search_pruned(wt_index.index, qdf, k=10), wt_index.docmap)
+    top = res.filter(F.col("rank") == 1).collect()[0]
+    # doc 0 carries the canonical passage (reference parity style:
+    # /root/reference/tests/searcher_test.rs:99)
+    assert top.url == "https://example.org/doc/0000000000"
+
+
+def test_checkpoint_resume(spark, webtext, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("bm25_ckpt"))
+    wt1 = index_webtext(
+        spark, webtext, lang="en", checkpoint_dir=ckpt, input_id="wt400", block_size=16
+    )
+    qdf = spark.createDataFrame([("cq", CANONICAL)], "qid string, query string")
+    r1 = sorted(map(tuple, bm25_search_pruned(wt1.index, qdf, k=10).collect()))
+
+    # full rerun: every stage must be reused (resume-from-complete)
+    from rustserini_spark.operators.index_build import build_index_checkpointed
+    from rustserini_spark.sources.synth import docmap_from_urls, extract_text_col
+
+    corpus = webtext.filter(F.col("lang") == "en")
+    docs = corpus.select("url", extract_text_col("html").alias("text")).join(
+        docmap_from_urls(corpus), "url"
+    )
+    _idx, stages = build_index_checkpointed(
+        spark, docs, checkpoint_dir=ckpt, input_id="wt400", block_size=16
+    )
+    assert all(s.reused for s in stages), [(s.name, s.reused) for s in stages]
+
+    # kill the last stage -> only it rebuilds, earlier stages stay reused
+    shutil.rmtree(f"{ckpt}/postings")
+    idx2, stages2 = build_index_checkpointed(
+        spark, docs, checkpoint_dir=ckpt, input_id="wt400", block_size=16
+    )
+    by_name = {s.name: s.reused for s in stages2}
+    assert by_name["tf"] and by_name["doclen"] and by_name["dictionary"]
+    assert not by_name["postings"]
+
+    # reopened index answers identically
+    idx3 = load_index(spark, ckpt)
+    r3 = sorted(map(tuple, bm25_search_pruned(idx3, qdf, k=10).collect()))
+    assert r1 == r3
+
+    # changed input id -> full rebuild
+    _idx4, stages4 = build_index_checkpointed(
+        spark, docs, checkpoint_dir=ckpt, input_id="OTHER", block_size=16
+    )
+    assert not any(s.reused for s in stages4)
