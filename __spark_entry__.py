@@ -313,6 +313,61 @@ def q_bm25_topk_porter(spark, sf_dir):
     return bm25_search_pruned(index, _queries_df(spark), k=BM25_K)
 
 
+FIELD_BOOSTS = {"text": 1.0, "source": 2.0}
+
+
+def q_bm25_fields_topk_simple(spark, sf_dir):
+    """Field-weighted search (O16): score = 1.0*BM25(text) + 2.0*BM25(source),
+    each field with its own postings/stats, vs a two-pipeline DuckDB oracle."""
+    from rustserini_spark.operators.fields import build_multifield_index, search_fields
+
+    docs = _docs(spark, sf_dir)
+    indexes = build_multifield_index(spark, docs, list(FIELD_BOOSTS), analyzer="simple")
+    res = search_fields(indexes, _queries_df(spark), FIELD_BOOSTS, k=max(50, BM25_K * 5))
+    return _rerank_rounded(res, BM25_K)
+
+
+def _bm25_fields_sql(k1: float = 0.9, b: float = 0.4, k: int = BM25_K) -> str:
+    def field_cte(col, tag):
+        toks = f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+        return f"""
+d_{tag} AS (SELECT doc_id, {toks} AS toks FROM documents),
+dl_{tag} AS (SELECT doc_id, len(toks) AS dl FROM d_{tag}),
+st_{tag} AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_{tag}),
+tf_{tag} AS (SELECT doc_id, term, count(*) AS tf FROM
+             (SELECT doc_id, unnest(toks) AS term FROM d_{tag}) GROUP BY doc_id, term),
+df_{tag} AS (SELECT term, count(*) AS df FROM tf_{tag} GROUP BY term),
+sc_{tag} AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(qt.qtf * ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / st.avgdl))) AS score
+  FROM qt JOIN tf_{tag} tf USING (term) JOIN df_{tag} dft USING (term)
+  JOIN dl_{tag} dl ON tf.doc_id = dl.doc_id CROSS JOIN st_{tag} st
+  GROUP BY qt.qid, tf.doc_id)"""
+
+    boosted = " + ".join(
+        f"{boost} * coalesce(s_{tag}.score, 0)" for tag, boost in (("t", FIELD_BOOSTS["text"]), ("s", FIELD_BOOSTS["source"]))
+    )
+    return f"""
+WITH qraw(qid, query) AS (VALUES {_bm25_queries_values()}),
+qt AS (SELECT qid, term, count(*) AS qtf FROM
+        (SELECT qid, unnest(list_filter(regexp_split_to_array(lower(query), '[^a-z0-9]+'), t -> t <> '')) AS term
+         FROM qraw) GROUP BY qid, term),
+{field_cte('text', 't')},
+{field_cte('source', 's')},
+allkeys AS (SELECT qid, doc_id FROM sc_t UNION SELECT qid, doc_id FROM sc_s),
+tot AS (SELECT k.qid, k.doc_id, {boosted} AS score
+        FROM allkeys k
+        LEFT JOIN sc_t s_t ON k.qid = s_t.qid AND k.doc_id = s_t.doc_id
+        LEFT JOIN sc_s s_s ON k.qid = s_s.qid AND k.doc_id = s_s.doc_id),
+rounded AS (SELECT qid, doc_id, {sql_r4('score')} AS score_r FROM tot),
+ranked AS (SELECT qid, doc_id, score_r,
+                  row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS rank
+           FROM rounded)
+SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -390,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_counts": q_lang_counts,
         "bm25_topk_simple": q_bm25_topk_simple,
         "bm25_topk_porter": q_bm25_topk_porter,
+        "bm25_fields_topk_simple": q_bm25_fields_topk_simple,
         "exact_dedup": q_exact_dedup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -416,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "bm25_topk_simple": _bm25_sql(),
         # bm25_topk_porter: intentionally no SQL oracle (Porter stemming),
+        "bm25_fields_topk_simple": _bm25_fields_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper "
             "FROM documents GROUP BY md5(text)"

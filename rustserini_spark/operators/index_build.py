@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,9 +39,12 @@ K1_DEFAULT = 0.9  # Anserini SimpleSearcher defaults (reference delegation at
 B_DEFAULT = 0.4  # /root/reference/src/searcher/lucene/searcher.rs:35)
 MAX_GROUP_DEFAULT = 1 << 16  # max postings per (term, salt) group fed to one pandas group
 
+N_SHARDS_DEFAULT = 32  # doc shards: the unit of distributed query evaluation
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
         T.StructField("salt", T.IntegerType(), False),
         T.StructField("block_seq", T.IntegerType(), False),
         T.StructField("first_doc", T.LongType(), False),
@@ -96,10 +100,29 @@ def tokenize_docs(docs: DataFrame, text_col: str, id_col: str, analyzer: str) ->
     return docs.select(F.col(id_col).cast("long").alias("doc_id"), tok(text_col).alias("tokens"))
 
 
+def exploded_term_freqs(docs: DataFrame, text_col: str, id_col: str, analyzer: str) -> DataFrame:
+    """(term, doc_id, dl, tf) — analysis + per-doc term counting in ONE Arrow
+    pass, emitted already exploded as flat primitive columns. tf is a
+    per-document computation, so this relation needs NO corpus shuffle at all
+    (the naive plan's explode + groupBy(term, doc) exchange is gone), and no
+    nested map/array columns cross the Arrow boundary (measured 3-5x slower).
+    Docs with zero tokens emit nothing here; collection stats account for them
+    separately (n_docs from a plain count)."""
+    from rustserini_spark.analysis import analyze_text, simple_tokenize_text
+    from rustserini_spark.analysis.analyzer import (
+        TF_RELATION_SCHEMA,
+        term_freq_batches_factory,
+    )
+
+    fn = {"porter": analyze_text, "simple": simple_tokenize_text}.get(analyzer)
+    if fn is None:
+        raise ValueError(f"unknown analyzer mode {analyzer!r}")
+    pairs = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+    return pairs.mapInPandas(term_freq_batches_factory(fn), TF_RELATION_SCHEMA)
+
+
 def term_frequencies(tokens_df: DataFrame) -> DataFrame:
-    """(term, doc_id, dl, tf). dl is carried through the explode (doc_id -> dl is
-    functional, so adding dl to the groupBy keys costs nothing and saves a
-    doc-level join at 10^12 scale)."""
+    """(term, doc_id, dl, tf) from a legacy (doc_id, tokens) frame."""
     return (
         tokens_df.select(
             "doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
@@ -107,6 +130,16 @@ def term_frequencies(tokens_df: DataFrame) -> DataFrame:
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def doclen_table(docs: DataFrame, tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl) for every doc, including zero-token docs (Lucene counts
+    them in maxDoc). Derived from the tf relation + a left join — only used
+    for the saved doclen artifact, never on the query path (dl is inline in
+    postings)."""
+    per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    all_ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").fillna({"dl": 0})
 
 
 def lucene_idf(df_col, n_docs: int):
@@ -121,33 +154,150 @@ def _salted_postings(
     b: float,
     block_size: int,
     max_group: int,
+    n_shards: int = N_SHARDS_DEFAULT,
 ) -> DataFrame:
     """(term, doc_id, dl, tf, df, idf) -> compressed posting blocks, one row per
-    (term, salt, block). Salt count adapts to df so no group exceeds max_group."""
-    n_salts = F.greatest(F.lit(1), F.ceil(F.col("df") / F.lit(max_group))).cast("int")
-    salted = tf_with_dict.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id"), n_salts).cast("int")
-    )
+    (term, shard, salt, block).
+
+    Document-sharded layout (the distributed-IR standard): shard =
+    pmod(xxhash64(doc_id), n_shards) partitions the corpus into disjoint doc
+    sets, so each shard can evaluate queries against its own postings exactly
+    and independently — query time shuffles matched blocks once (to shard
+    groups), never per query. Within a (term, shard), an adaptive salt bounds
+    the encode group at max_group postings, so even "the" at 10^12 docs never
+    exceeds one pandas group's budget.
+    """
     safe_avgdl = avgdl if avgdl > 0 else 1.0
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = encode_group_blocks(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["dl"].to_numpy(),
-            float(pdf["idf"].iloc[0]),
-            k1,
-            b,
-            safe_avgdl,
-            block_size=block_size,
-        )
-        n = len(cols["block_seq"])
-        return pd.DataFrame(
-            {"term": [pdf["term"].iloc[0]] * n, "salt": [int(pdf["salt"].iloc[0])] * n, **cols},
-            columns=[f.name for f in POSTINGS_SCHEMA.fields],
-        )
+    # SEGMENT-LOCAL ENCODE — zero corpus-scale shuffle (Lucene's own model:
+    # each writer emits an immutable segment; merge happens later). The tf
+    # relation carries ``seg``, assigned inside the analyzer where each doc's
+    # rows are provably together: segments are doc-disjoint no matter how
+    # joins or Arrow batch boundaries reorder/split rows here. salt = seg and
+    # shard = seg mod n_shards give the query path its doc-disjoint grouping
+    # key. The idf needed for block-max bounds arrives via a broadcast of the
+    # (small) dictionary — the only exchange in the whole postings plan is the
+    # dictionary's own partial agg.
+    #
+    # Trade-off, by design: tail terms get one tiny block per segment, so the
+    # block-row count grows with segment count; streaming.compact_segments is
+    # the merge stage that rewrites them into dense sorted global lists.
+    joined = tf_with_dict.select("term", "doc_id", "tf", "dl", "idf", "seg")
+    out_cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
-    return salted.groupBy("term", "salt").applyInPandas(encode_group, POSTINGS_SCHEMA)
+    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        # Knuth multiplicative mix: seg = (pid<<14)|counter has low bits that
+        # are mostly zero, so a plain modulo would collapse every segment into
+        # shard 0 and serialize the whole query path.
+        shard = (((seg * 0x9E3779B1) & 0xFFFFFFFF) >> 16) % n_shards
+        terms = pdf["term"].to_numpy()
+        order = np.argsort(terms, kind="stable")
+        terms = terms[order]
+        d = pdf["doc_id"].to_numpy()[order]
+        t = pdf["tf"].to_numpy()[order]
+        l = pdf["dl"].to_numpy()[order]
+        idf = pdf["idf"].to_numpy()[order]
+        change = np.flatnonzero(terms[1:] != terms[:-1])
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(terms)]))
+        acc = {c: [] for c in out_cols}
+        for s, e in zip(starts, ends):
+            cols = encode_group_blocks(
+                d[s:e], t[s:e], l[s:e], float(idf[s]), k1, b, safe_avgdl, block_size
+            )
+            n = len(cols["block_seq"])
+            acc["term"].append(np.full(n, terms[s], dtype=object))
+            acc["shard"].append(np.full(n, shard, dtype=np.int32))
+            acc["salt"].append(np.full(n, seg, dtype=np.int32))
+            for c in ("block_seq", "first_doc", "last_doc", "n_docs", "max_impact"):
+                acc[c].append(np.asarray(cols[c]))
+            acc["postings_bin"].append(np.array(cols["postings_bin"], dtype=object))
+        return pd.DataFrame({c: np.concatenate(acc[c]) if acc[c] else [] for c in out_cols})
+
+    # groupBy(seg): a plain hash exchange of fixed-width rows (no sort, no
+    # string keys) delivering each WHOLE segment (<= SEG_DOCS docs) to one
+    # encode call — no fragmentation, no per-batch stitching, group size
+    # bounded by the analyzer's segment cap.
+    return joined.groupBy("seg").applyInPandas(encode_segment, POSTINGS_SCHEMA)
+
+
+def _sorted_postings(
+    tf_with_dict: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    max_group: int,
+    n_shards: int = N_SHARDS_DEFAULT,
+) -> DataFrame:
+    """Merge/optimize encoder (the O9 segment-merge layout): one shuffle keyed
+    by doc-hash-derived (term, shard, salt) + an in-partition sort, then a
+    streaming run encoder. Produces dense, globally-merged posting sublists —
+    the layout compaction rewrites fast-built segment postings into. Unlike
+    the segment-local encoder it does not need a ``seg`` column (shard/salt
+    derive from doc_id, so doc-disjointness is by hash)."""
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(max_group * n_shards))
+    ).cast("int")
+    keyed = tf_with_dict.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    ).withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), n_salts).cast("int"))
+    parts = keyed.select(
+        "term", "shard", "salt", "doc_id", "tf", "dl", "idf"
+    ).repartition("term", "shard", "salt").sortWithinPartitions("term", "shard", "salt")
+    safe_avgdl = avgdl if avgdl > 0 else 1.0
+    out_cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+    def encode_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]) | (salts[1:] != salts[:-1])
+        )
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(pdf)]))
+        d = pdf["doc_id"].to_numpy()
+        t = pdf["tf"].to_numpy()
+        l = pdf["dl"].to_numpy()
+        idf = pdf["idf"].to_numpy()
+        acc = {c: [] for c in out_cols}
+        for s, e in zip(starts, ends):
+            cols = encode_group_blocks(
+                d[s:e], t[s:e], l[s:e], float(idf[s]), k1, b, safe_avgdl, block_size
+            )
+            n = len(cols["block_seq"])
+            acc["term"].append(np.full(n, terms[s], dtype=object))
+            acc["shard"].append(np.full(n, shards[s], dtype=np.int32))
+            acc["salt"].append(np.full(n, salts[s], dtype=np.int32))
+            for c in ("block_seq", "first_doc", "last_doc", "n_docs", "max_impact"):
+                acc[c].append(np.asarray(cols[c]))
+            acc["postings_bin"].append(np.array(cols["postings_bin"], dtype=object))
+        return pd.DataFrame({c: np.concatenate(acc[c]) if acc[c] else [] for c in out_cols})
+
+    def encode_stream(batches):
+        carry = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last = pdf.iloc[-1]
+            tail = (
+                (pdf["term"].to_numpy() == last["term"])
+                & (pdf["shard"].to_numpy() == last["shard"])
+                & (pdf["salt"].to_numpy() == last["salt"])
+            )
+            n_tail = int(tail[::-1].cumprod().sum())
+            cut = len(pdf) - n_tail
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            if cut:
+                yield encode_runs(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield encode_runs(carry)
+
+    return parts.mapInPandas(encode_stream, POSTINGS_SCHEMA)
 
 
 def build_index(
@@ -169,22 +319,18 @@ def build_index(
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
 
-    # Cache the analyzed tokens: three downstream consumers (stats, tf,
-    # doclen) would otherwise re-run the pandas-UDF analysis per action. At
-    # true 10^12 scale this cache becomes a checkpointed stage table
-    # (sources/catalog.py) instead of executor memory.
-    tokens_df = tokenize_docs(docs, text_col, id_col, analyzer).persist()
+    # Cache the flat analyzed tf relation: three downstream consumers (stats,
+    # dictionary, postings) would otherwise re-run the Arrow analysis pass per
+    # action. At true 10^12 scale this cache becomes a checkpointed stage
+    # table (sources/catalog.py) instead of executor memory.
+    tf = exploded_term_freqs(docs, text_col, id_col, analyzer).persist()
 
-    # Doc length from tokens_df (not from the exploded table) so empty docs
-    # still count toward N/avgdl, matching Lucene's maxDoc-based stats.
-    doclen = tokens_df.select("doc_id", F.size("tokens").alias("dl"))
-    stats_row = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs = int(stats_row["n_docs"])
-    avgdl = float(stats_row["avgdl"] or 0.0)
-
-    tf = term_frequencies(tokens_df).persist()
+    # Collection stats: N counts every doc (zero-token docs included, matching
+    # Lucene's maxDoc); avgdl = total token count / N, and Σtf == Σdl exactly.
+    n_docs = docs.count()
+    total_tokens = tf.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    doclen = doclen_table(docs, tf, id_col)
 
     dictionary = (
         tf.groupBy("term")
@@ -264,12 +410,10 @@ def build_index_checkpointed(
         parallelism = spark.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < parallelism:
             docs = docs.repartition(parallelism)
-        tokens_df = tokenize_docs(docs, text_col, id_col, analyzer).persist()
-        results.append(
-            cat.write_stage("doclen", tokens_df.select("doc_id", F.size("tokens").alias("dl")), fp_dl)
-        )
-        results.append(cat.write_stage("tf", term_frequencies(tokens_df), fp_tf))
-        tokens_df.unpersist()
+        tf_live = exploded_term_freqs(docs, text_col, id_col, analyzer)
+        results.append(cat.write_stage("tf", tf_live, fp_tf))
+        tf = cat.read(spark, "tf")
+        results.append(cat.write_stage("doclen", doclen_table(docs, tf, id_col), fp_dl))
     else:
         results.append(cat.write_stage("doclen", None, fp_dl))  # returns reused
         results.append(cat.write_stage("tf", None, fp_tf))
@@ -311,7 +455,7 @@ def build_index_checkpointed(
                 fp_post,
                 repartition_by=["term"],
                 n_partitions=postings_buckets,
-                sort_within=["term", "salt", "block_seq"],
+                sort_within=["term", "shard", "salt", "block_seq"],
             )
         )
     else:

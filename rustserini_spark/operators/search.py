@@ -157,52 +157,83 @@ def bm25_search(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
     return _topk(scored, k)
 
 
-def _prune_and_score(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
-    """Lossless block-max MaxScore for one query's blocks (pure NumPy).
+def _shard_topk(
+    rows: np.ndarray,
+    qtf_row: np.ndarray,
+    bufs: list,
+    n_docs_arr: np.ndarray,
+    first_doc: np.ndarray,
+    last_doc: np.ndarray,
+    max_impact: np.ndarray,
+    idf: np.ndarray,
+    term_idx: np.ndarray,
+    n_terms: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    decoded_cache: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lossless block-max MaxScore for one query on one doc shard (pure NumPy).
 
     1. Seed threshold θ by exactly scoring the docs of the single best block.
     2. Candidate generation: a block is skipped when
        qtf·max_impact(block) + Σ_{other terms} U < θ — any doc living only in
-       skipped blocks provably cannot reach the top-k.
+       skipped blocks provably cannot reach the shard top-k.
     3. Exact verification: candidates are scored exactly against every term,
        decoding only blocks whose docid range intersects the candidate set.
-    """
-    qid = pdf["qid"].iloc[0]
-    terms = pdf["term"].to_numpy()
-    n_docs_arr = pdf["n_docs"].to_numpy(dtype=np.int64)
-    first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
-    last_doc = pdf["last_doc"].to_numpy(dtype=np.int64)
-    max_impact = pdf["max_impact"].to_numpy(dtype=np.float64)
-    qtf = pdf["qtf"].to_numpy(dtype=np.float64)
-    idf = pdf["idf"].to_numpy(dtype=np.float64)
-    bufs = list(pdf["postings_bin"])
-    weighted_max = qtf * max_impact
 
-    # per-term weighted upper bound U_t = qtf * max block impact
-    uniq_terms, term_idx = np.unique(terms, return_inverse=True)
-    U = np.zeros(uniq_terms.size)
-    np.maximum.at(U, term_idx, weighted_max)
+    ``rows`` indexes this query's blocks within the shard's arrays; decoded
+    blocks are memoized in ``decoded_cache`` so queries sharing head terms
+    decode each block once per shard.
+    """
+    weighted_max = qtf_row * max_impact[rows]
+    t_idx = term_idx[rows]
+    U = np.zeros(n_terms)
+    np.maximum.at(U, t_idx, weighted_max)
     sumU = float(U.sum())
 
-    def decode_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Batch-decode the given block rows -> (doc_ids, weighted impacts, row_map)."""
-        d, t, l, bidx = decode_blocks_batch([bufs[i] for i in rows], n_docs_arr[rows])
-        rmap = rows[bidx]
-        imp = bm25_impact(t, l, idf[rmap], k1, b, avgdl) * qtf[rmap]
-        return d, imp, rmap
+    def decode_rows(sub: np.ndarray):
+        """sub: positions within `rows`. Returns (doc_ids, weighted_impacts)."""
+        parts_d, parts_imp = [], []
+        todo = []
+        for pos in sub:
+            r = int(rows[pos])
+            hit = decoded_cache.get(r)
+            if hit is None:
+                todo.append(pos)
+            else:
+                parts_d.append(hit[0])
+                parts_imp.append(hit[1] * qtf_row[pos])
+        if todo:
+            todo_rows = rows[todo]
+            d, t, l, bidx = decode_blocks_batch(
+                [bufs[i] for i in todo_rows], n_docs_arr[todo_rows]
+            )
+            base_imp = bm25_impact(t, l, idf[todo_rows][bidx], k1, b, avgdl)
+            for j, pos in enumerate(todo):
+                sel = bidx == j
+                hit = (d[sel], base_imp[sel])
+                decoded_cache[int(rows[pos])] = hit
+                parts_d.append(hit[0])
+                parts_imp.append(hit[1] * qtf_row[pos])
+        if not parts_d:
+            z = np.empty(0)
+            return z.astype(np.int64), z
+        return np.concatenate(parts_d), np.concatenate(parts_imp)
+
+    fd, ld = first_doc[rows], last_doc[rows]
 
     def exact_scores(cand: np.ndarray) -> np.ndarray:
-        """Exact scoring of the candidate set: per block-row range prefilter,
-        one batch decode, one searchsorted accumulate."""
         scores = np.zeros(cand.size, dtype=np.float64)
         if cand.size == 0:
             return scores
-        lo = np.searchsorted(cand, first_doc, side="left")
-        hi = np.searchsorted(cand, last_doc, side="right")
-        rows = np.flatnonzero(lo != hi)
-        if rows.size == 0:
+        lo = np.searchsorted(cand, fd, side="left")
+        hi = np.searchsorted(cand, ld, side="right")
+        sub = np.flatnonzero(lo != hi)
+        if sub.size == 0:
             return scores
-        d, imp, _ = decode_rows(rows)
+        d, imp = decode_rows(sub)
         idx = np.searchsorted(cand, d)
         ok = idx < cand.size
         match = np.zeros(d.size, dtype=bool)
@@ -210,46 +241,92 @@ def _prune_and_score(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: floa
         np.add.at(scores, idx[match], imp[match])
         return scores
 
-    # --- seed θ with the overall best block
-    best_row = int(np.argmax(weighted_max))
-    seed_docs = np.unique(decode_rows(np.array([best_row]))[0])
+    best = int(np.argmax(weighted_max))
+    seed_docs = np.unique(decode_rows(np.array([best]))[0])
     seed_scores = exact_scores(seed_docs)
     theta = 0.0
     if seed_docs.size >= k:
         theta = float(np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k])
 
-    # --- candidate generation with block skipping:
-    # keep block b of term t when qtf·max_impact(b) + Σ_{t'≠t} U_{t'} >= θ;
-    # a doc living only in skipped blocks provably cannot reach the top-k
-    others = sumU - U[term_idx]
+    others = sumU - U[t_idx]
     keep = np.flatnonzero(weighted_max + others >= theta)
     cand = np.unique(np.concatenate([seed_docs, decode_rows(keep)[0]]))
-
     scores = exact_scores(cand)
+
     n = min(k, cand.size)
     if n == 0:
-        return pd.DataFrame(columns=["qid", "doc_id", "score", "rank"])
-    # top-k with score desc, doc_id asc tie-break (Lucene order)
+        return np.empty(0, dtype=np.int64), np.empty(0)
     order = np.lexsort((cand, -scores))[:n]
-    return pd.DataFrame(
-        {
-            "qid": qid,
-            "doc_id": cand[order],
-            "score": scores[order],
-            "rank": np.arange(1, n + 1, dtype=np.int32),
-        }
-    )
+    return cand[order], scores[order]
 
 
 def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
-    joined = _matching_blocks(index, queries)
-    if joined is None:
-        return _empty_result(queries.sparkSession)
+    """Document-sharded block-max search (the distributed-IR standard).
+
+    Matched posting blocks shuffle ONCE to their doc-shard group — never per
+    query — because shards hold disjoint doc sets: every doc is fully scored
+    inside its shard, each shard emits an exact local top-k per query, and a
+    doc in the global top-k is necessarily in its shard's local top-k. The
+    global merge is a window over shards x queries x k rows (tiny). Query
+    terms/idf travel in the task closure (driver-analyzed, small), so the plan
+    has no join fan-out at all: one shuffle + one window.
+    """
+    spark = queries.sparkSession
+    qt_rows, terms = query_terms_local(queries, index.analyzer)
+    if not terms:
+        return _empty_result(spark)
+    per_query: dict[str, dict[str, float]] = {}
+    for qid, term, qtf in qt_rows:
+        per_query.setdefault(qid, {})[term] = float(qtf)
+    idf_by_term = {
+        r["term"]: float(r["idf"])
+        for r in index.dictionary.filter(F.col("term").isin(terms)).select("term", "idf").collect()
+    }
     k1, b, avgdl = index.k1, index.b, (index.avgdl or 1.0)
 
-    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+    def shard_search(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
-            return pd.DataFrame(columns=["qid", "doc_id", "score", "rank"])
-        return _prune_and_score(pdf, k, k1, b, avgdl)
+            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+        terms_arr = pdf["term"].to_numpy()
+        uniq_terms, term_idx = np.unique(terms_arr, return_inverse=True)
+        rows_of = {t: np.flatnonzero(terms_arr == t) for t in uniq_terms}
+        term_pos = {t: i for i, t in enumerate(uniq_terms)}
+        n_docs_arr = pdf["n_docs"].to_numpy(dtype=np.int64)
+        first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
+        last_doc = pdf["last_doc"].to_numpy(dtype=np.int64)
+        max_impact = pdf["max_impact"].to_numpy(dtype=np.float64)
+        idf = np.array([idf_by_term.get(t, 0.0) for t in terms_arr])
+        bufs = list(pdf["postings_bin"])
+        decoded_cache: dict[int, tuple] = {}
 
-    return joined.groupBy("qid").applyInPandas(per_query, RESULT_SCHEMA)
+        out_qid, out_doc, out_score = [], [], []
+        for qid, tw in per_query.items():
+            present = [t for t in tw if t in rows_of]
+            if not present:
+                continue
+            rows = np.concatenate([rows_of[t] for t in present])
+            qtf_row = np.concatenate(
+                [np.full(rows_of[t].size, tw[t]) for t in present]
+            )
+            docs, scores = _shard_topk(
+                rows, qtf_row, bufs, n_docs_arr, first_doc, last_doc, max_impact,
+                idf, term_idx, uniq_terms.size, k, k1, b, avgdl, decoded_cache,
+            )
+            out_qid.extend([qid] * docs.size)
+            out_doc.append(docs)
+            out_score.append(scores)
+        if not out_qid:
+            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+        return pd.DataFrame(
+            {
+                "qid": out_qid,
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    blocks = index.postings.filter(F.col("term").isin(terms))
+    local = blocks.groupBy("shard").applyInPandas(
+        shard_search, "qid string, doc_id long, score double"
+    )
+    return _topk(local, k)

@@ -86,6 +86,17 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95, id_col: str
     )
 
 
+def dot_topk_prf(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """PRF variant (reference O20): hits plus the raw query vector, mirroring
+    PRFDenseSearchResult {docid, score, prf_score}
+    (/root/reference/src/searcher/faiss/searcher.rs:25-38, :101-107)."""
+    hits = dot_topk(corpus, queries, k, id_col, vec_col)
+    qvec = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("prf_vector"))
+    return hits.join(F.broadcast(qvec), "qid")
+
+
 # ---------------------------------------------------------------- LSH ANN ---
 
 _SIG_SCHEMA = T.StructType(

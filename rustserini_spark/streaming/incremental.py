@@ -46,9 +46,10 @@ from rustserini_spark.operators.index_build import (
     BLOCK_SIZE_DEFAULT,
     MAX_GROUP_DEFAULT,
     _salted_postings,
+    _sorted_postings,
+    doclen_table,
+    exploded_term_freqs,
     lucene_idf,
-    term_frequencies,
-    tokenize_docs,
 )
 
 SEG_PREFIX = "seg_"
@@ -67,13 +68,11 @@ def write_segment(
     max_group: int = MAX_GROUP_DEFAULT,
 ) -> dict:
     """Build one immutable segment from a (micro-)batch of docs."""
-    tokens_df = tokenize_docs(docs, text_col, id_col, analyzer).persist()
-    doclen = tokens_df.select("doc_id", F.size("tokens").alias("dl"))
-    row = doclen.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).collect()[0]
-    n_docs, sum_dl = int(row["n"]), int(row["s"] or 0)
+    tf = exploded_term_freqs(docs, text_col, id_col, analyzer).persist()
+    n_docs = docs.count()
+    sum_dl = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-
-    tf = term_frequencies(tokens_df).persist()
+    doclen = doclen_table(docs, tf, id_col)
     dictionary = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
@@ -96,7 +95,6 @@ def write_segment(
     }
     with open(os.path.join(seg_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
-    tokens_df.unpersist()
     tf.unpersist()
     return stats
 
@@ -221,7 +219,7 @@ def compact_segments(
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
         .withColumn("idf", lucene_idf(F.col("df"), seg_index.n_docs))
     )
-    postings = _salted_postings(
+    postings = _sorted_postings(
         tf.join(dictionary.select("term", "df", "idf"), "term"),
         seg_index.avgdl or 1.0,
         seg_index.k1,
@@ -229,7 +227,7 @@ def compact_segments(
         seg_index.block_size,
         max_group,
     )
-    postings.repartition("term").sortWithinPartitions("term", "salt", "block_seq").write.mode(
+    postings.repartition("term").sortWithinPartitions("term", "shard", "salt", "block_seq").write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "postings"))
     dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))

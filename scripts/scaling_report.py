@@ -22,7 +22,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "600000"))
-LEVELS = (8, 32)
+# local[N] pandas-UDF pipelines use ~2N threads (N JVM tasks + N Arrow python
+# workers); levels are sized so BOTH fit the physical cores — otherwise the 4N
+# level measures scheduler thrash, not scaling. On a 32-core host: 4 -> 16.
+LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(","))
 DATA_DIR = os.environ.get("SCALING_DATA_DIR", f"/tmp/rustserini_scaling/webtext_{N_DOCS}")
 N_QUERIES = 256
 
@@ -58,11 +61,21 @@ def run_once(cpus: int) -> dict:
     from rustserini_spark.operators.search import bm25_search_pruned
     from rustserini_spark.operators.webtext import index_webtext
 
+    # AQE off for the measured job: its per-exchange materialization rounds
+    # add fixed driver latency that swamps small-corpus runs; skew is handled
+    # structurally by the salted build, not by AQE, so the plan is unchanged.
+    aqe = os.environ.get("SCALING_AQE", "false")
+    # shuffle partitions FIXED across levels: identical physical plan, only
+    # executor parallelism differs (and small tasks avoid spill at the low
+    # level) — on a real cluster you size this to the data, not the cores.
     spark = get_spark(
         f"scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
-        extra_conf={"spark.driver.memory": "48g"},
+        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "64")),
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.adaptive.enabled": aqe,
+        },
     )
     webtext = spark.read.parquet(DATA_DIR)
     n_en = webtext.filter(F.col("lang") == "en").count()  # warms the scan
@@ -132,7 +145,8 @@ Sandbox stand-in (no real cluster): the identical job — synth webtext parquet
 ({N_DOCS} docs, seed 42) -> extraction parity check -> lang filter -> docmap ->
 salted block-compressed BM25 index build -> {N_QUERIES}-query pruned top-10
 batch — run at local[{LEVELS[0]}] and local[{LEVELS[1]}] on a {os.cpu_count()}-core host,
-one JVM per level, sequential.
+one JVM per level, sequential. Each level uses ~2x its task threads
+(JVM + Arrow python workers), so both levels fit the physical cores.
 
 | metric | local[{LEVELS[0]}] (N) | local[{LEVELS[1]}] (4N) | speedup | efficiency |
 |---|---|---|---|---|

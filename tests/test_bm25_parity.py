@@ -89,7 +89,13 @@ def test_pruned_matches_oracle(tiny_index, queries_df):
 def test_pruned_equals_exhaustive_small_k(tiny_index, queries_df):
     a = _collect(bm25_search(tiny_index, queries_df, k=2))
     b = _collect(bm25_search_pruned(tiny_index, queries_df, k=2))
-    assert a == b
+    # identical rankings; scores may differ in the last ulp (summation order)
+    assert {q: [(r, d) for r, d, _ in v] for q, v in a.items()} == {
+        q: [(r, d) for r, d, _ in v] for q, v in b.items()
+    }
+    for q in a:
+        for (_, _, sa), (_, _, sb) in zip(a[q], b[q]):
+            assert sa == pytest.approx(sb, abs=1e-9)
 
 
 def test_canonical_query_top1(tiny_index, queries_df):

@@ -1,0 +1,83 @@
+"""Physical-plan quality gates: the plans we designed are the plans we get.
+
+These lock the scale properties the engine's 100 TB story depends on:
+filter pushdown into the postings parquet scan, broadcast (not shuffle) joins
+on the query side, and a build DAG with no unnecessary exchanges after the
+map-side tf optimization.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rustserini_spark.operators.index_build import (
+    build_index_checkpointed,
+    exploded_term_freqs,
+    load_index,
+)
+from rustserini_spark.operators.search import bm25_search
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, documents, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("planck"))
+    build_index_checkpointed(
+        spark, documents.select("doc_id", "text"), ckpt, input_id="plans"
+    )
+    return load_index(spark, ckpt)
+
+
+def test_term_filter_pushed_to_postings_scan(spark, saved_index):
+    filtered = saved_index.postings.filter(F.col("term").isin(["spark", "queri"]))
+    plan = _plan(filtered)
+    assert "PushedFilters" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "term" in m.group(1), plan[:800]
+
+
+def test_query_plan_uses_broadcast_joins(spark, saved_index):
+    qdf = spark.createDataFrame([("p", "spark query window")], "qid string, query string")
+    res = bm25_search(saved_index, qdf, k=10)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the big side (postings) must never be broadcast: no SortMergeJoin needed
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_mapside_tf_has_no_exchange(spark, documents):
+    """tf is a per-row computation after the map-side analyzer: the exploded
+    (term, doc) relation must contain ZERO shuffles."""
+    tf = exploded_term_freqs(documents, "text", "doc_id", "porter")
+    plan = _plan(tf)
+    assert "Exchange" not in plan, plan[:1200]
+
+
+def test_build_has_bounded_exchanges(spark, documents):
+    """The full postings build should shuffle at most 3 times: dictionary
+    partial/final agg, the dictionary join (broadcast at this scale -> free),
+    and the salted groupBy for block encoding."""
+    from rustserini_spark.operators.index_build import build_index
+
+    index = build_index(spark, documents.select("doc_id", "text"))
+    plan = _plan(index.postings)
+    # distinct shuffle exchanges only (BroadcastExchange is free at this size;
+    # the formatted tree renders cached subtrees repeatedly)
+    shuffles = {
+        m.group(1)
+        for m in re.finditer(r"(?<!Broadcast)Exchange \((\d+)\)", plan)
+    }
+    assert len(shuffles) <= 4, f"{sorted(shuffles)} exchanges:\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan  # dictionary join must not shuffle tf
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two = docs.select("doc_id", "lang")
+    plan = _plan(two)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), plan[:800]
