@@ -13,6 +13,8 @@ Schema is explicit (no inference jobs at 10^12 scale).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,6 +67,25 @@ def read_jsonl_corpus(
         else F.col("body")
     )
     return out.select("docid", text.alias("text"), "title")
+
+
+def parse_delimited_contents(
+    df: DataFrame,
+    field_names: list[str],
+    contents_col: str = "contents",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Reference S4: split a packed ``contents`` field into positional fields
+    (title/text packed with a delimiter), trimming a trailing delimiter —
+    /root/reference/examples/misc/collection_iterator.py:40-64. Pure Catalyst:
+    split + element_at."""
+    c = F.col(contents_col)
+    trimmed = F.when(c.endswith(delimiter), F.expr(
+        f"substring({contents_col}, 1, length({contents_col}) - {len(delimiter)})"
+    )).otherwise(c)
+    parts = F.split(trimmed, re.escape(delimiter))
+    cols = [F.element_at(parts, i + 1).alias(name) for i, name in enumerate(field_names)]
+    return df.select("*", *cols)
 
 
 def write_embeddings_jsonl(df: DataFrame, path: str) -> None:

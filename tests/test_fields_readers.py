@@ -133,3 +133,15 @@ def test_dot_topk_prf_returns_query_vector(spark, sf_dir):
         by_qid.setdefault(r.qid, set()).add(tuple(round(x, 5) for x in r.prf_vector))
     for qid, vecs in by_qid.items():
         assert len(vecs) == 1  # same prf vector on every hit of the query
+
+
+def test_parse_delimited_contents(spark):
+    from rustserini_spark.sources.readers import parse_delimited_contents
+
+    df = spark.createDataFrame(
+        [("a", "Title A\nbody text a\n"), ("b", "Title B\nbody b")],
+        "docid string, contents string",
+    )
+    out = parse_delimited_contents(df, ["title", "text"], delimiter="\n")
+    rows = {r.docid: (r.title, r.text) for r in out.collect()}
+    assert rows == {"a": ("Title A", "body text a"), "b": ("Title B", "body b")}
