@@ -37,9 +37,10 @@ from rustserini_spark.analysis.porter import porter_stem
 from rustserini_spark.analysis.stopwords import LUCENE_ENGLISH_STOPWORDS
 
 # StandardTokenizer approximation: runs of Unicode letters/digits, keeping
-# internal apostrophes (UAX#29 MidNumLet), possessive 's stripped afterwards
-# like EnglishPossessiveFilter. Lucene's maxTokenLength=255 splits longer runs.
-_TOKEN_RE = re.compile(r"[^\W_]+(?:'[^\W_]+)*", re.UNICODE)
+# internal apostrophes (UAX#29 Single_Quote/MidNumLet — Lucene indexes "don't"
+# as one token WITH the apostrophe); possessive 's / ’s stripped
+# afterwards like EnglishPossessiveFilter. maxTokenLength=255 splits longer runs.
+_TOKEN_RE = re.compile(r"[^\W_]+(?:['’][^\W_]+)*", re.UNICODE)
 _SIMPLE_RE = re.compile(r"[0-9a-z]+")
 _MAX_TOKEN_LEN = 255
 
@@ -54,9 +55,8 @@ def analyze_text(text: str) -> list[str]:
             (raw,) if len(raw) <= _MAX_TOKEN_LEN
             else (raw[i : i + _MAX_TOKEN_LEN] for i in range(0, len(raw), _MAX_TOKEN_LEN))
         ):
-            if tok.endswith("'s"):
+            if tok.endswith(("'s", "’s")):
                 tok = tok[:-2]
-            tok = tok.replace("'", "")
             if not tok or tok in LUCENE_ENGLISH_STOPWORDS:
                 continue
             out.append(porter_stem(tok))
@@ -81,8 +81,7 @@ def _analyze_series(s: pd.Series) -> pd.Series:
     def stem_one(tok: str):
         st = memo.get(tok)
         if st is None and tok not in memo:
-            t = tok[:-2] if tok.endswith("'s") else tok
-            t = t.replace("'", "")
+            t = tok[:-2] if tok.endswith(("'s", "’s")) else tok
             st = None if (not t or t in stop) else porter_stem(t)
             memo[tok] = st
         return st

@@ -68,12 +68,18 @@ def _ends_cvc(word: str) -> bool:
 
 # (suffix, replacement) pairs; longest suffix wins within a step, and once a
 # suffix matches the step ends whether or not the measure condition passes.
+# Includes the two Lucene/tartarus DEPARTURE rules vs the 1980 paper (both
+# marked "DEPARTURE" in Lucene's PorterStemmer.java, which the reference runs
+# via Anserini): 'bli'->'ble' replaces the paper's 'abli'->'able', and
+# 'logi'->'log' is added — so e.g. technology/technological co-stem to
+# "technolog" exactly as the reference's analysis chain produces.
 _STEP2 = (
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
-    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
     ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
 )
 _STEP3 = (
     ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),

@@ -29,6 +29,14 @@ def test_analyze_possessive_and_punct():
     assert analyze_text("The World's FASTEST engines!") == ["world", "fastest", "engin"]
 
 
+def test_analyze_internal_apostrophes_kept():
+    # Lucene StandardTokenizer keeps internal apostrophes (UAX#29); only the
+    # trailing possessive 's / ’s is stripped (EnglishPossessiveFilter).
+    assert analyze_text("don't panic") == ["don't", "panic"]
+    assert analyze_text("the world’s end") == ["world", "end"]
+    assert analyze_text("o'neill's house") == ["o'neil", "hous"]
+
+
 def test_analyze_empty_and_null():
     assert analyze_text("") == []
     assert analyze_text(None) == []

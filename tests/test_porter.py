@@ -94,6 +94,13 @@ PAPER_CASES = [
     ("lead", "lead"),
     ("generalizations", "gener"),
     ("oscillators", "oscil"),
+    # Lucene/tartarus DEPARTURE rules vs the 1980 paper (PorterStemmer.java):
+    # 'bli'->'ble' (replacing the paper's 'abli'->'able') and 'logi'->'log'.
+    ("possibly", "possibl"),
+    ("technology", "technolog"),
+    ("technological", "technolog"),
+    ("geology", "geologi"),  # m("geo")=0 blocks logi->log, same as Lucene
+    ("probably", "probabl"),
 ]
 
 
