@@ -4,9 +4,14 @@ Reference parity target (SURVEY.md §2 O8/O10): Lucene stores postings delta-gap
 VInt encoded in blocks with block-max impact metadata (BMW); the reference consumes
 that format opaquely via JNI (/root/reference/src/searcher/lucene/index.rs:57-58).
 This module owns the same on-disk semantics natively: postings live in BinaryType
-columns, one row per (term, salt, block), each block carrying its docid range and a
-precomputed BM25 score upper bound (``max_impact``) so query-time pruning can skip
-whole blocks without decoding them.
+columns, one row per (term, salt, block), each block carrying its docid range and
+IDF-FREE score-bound metadata (``max_tf``, ``min_dl``): the BM25 contribution
+idf * tf / (tf + k1*(1-b+b*dl/avgdl)) is increasing in tf and decreasing in dl, so
+idf * bound(max_tf, min_dl) evaluated with the CURRENT global idf/avgdl at query
+time upper-bounds every posting in the block. Because nothing collection-global is
+baked into the block, segments built independently (streaming micro-batches,
+incremental merges) keep exact pruning validity under the merged global stats —
+the property Lucene gets from per-segment norms + query-time similarity.
 
 Everything here is pure NumPy (no Python-per-value loops on the decode path) so it
 runs Arrow-batch-at-a-time inside pandas UDFs.
@@ -130,66 +135,117 @@ def bm25_impact(tf: np.ndarray, dl: np.ndarray, idf: float, k1: float, b: float,
     return idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def encode_group_blocks(
-    doc_ids: np.ndarray,
-    tfs: np.ndarray,
-    dls: np.ndarray,
-    idf: float,
+def block_upper_bound(
+    max_tf: np.ndarray,
+    min_dl: np.ndarray,
+    idf,
     k1: float,
     b: float,
     avgdl: float,
+) -> np.ndarray:
+    """Per-block BM25 score upper bound from idf-free metadata, evaluated with
+    the CURRENT global idf/avgdl: valid because bm25_impact is monotonically
+    increasing in tf and decreasing in dl. ``idf`` may be scalar or per-block."""
+    mt = np.asarray(max_tf, dtype=np.float64)
+    md = np.asarray(min_dl, dtype=np.float64)
+    return idf * mt / (mt + k1 * (1.0 - b + b * md / avgdl))
+
+
+def encode_runs_blocks(
+    run_id: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
     block_size: int = BLOCK_SIZE_DEFAULT,
-) -> dict[str, list]:
-    """Encode one posting (sub)list into blocks in a single vectorized pass.
+) -> dict[str, np.ndarray | list]:
+    """Encode MANY posting runs into blocks in ONE vectorized pass.
 
-    All per-posting math (impact, deltas, varint byte sizes) runs over the
-    whole group at once; block boundaries are recovered by slicing the single
-    encoded buffer at per-value byte offsets. Per-block cost is two slices,
-    not a NumPy pipeline — at web scale the encode stage runs millions of
-    blocks, and per-block NumPy fixed costs were the build bottleneck.
+    ``run_id`` is a non-decreasing int array assigning each posting to its run
+    (one run = one term's — or one (term, shard, salt)'s — posting sublist;
+    doc_ids must be distinct within a run). Rows within a run may arrive in any
+    doc order; one lexsort orders the entire batch. All per-posting math
+    (deltas, reduceat metadata, varint byte sizes) is computed over the whole
+    batch at once — the only per-block Python cost is the final bytes slice.
+    At web scale the encode stage runs millions of blocks; per-run NumPy
+    pipelines were the round-1 build bottleneck.
 
-    Output format per block is unchanged: varint(deltas) ++ varint(tfs) ++
-    varint(dls), first delta absolute.
+    Returns per-block arrays: run_idx (ordinal of the block's run within the
+    batch, for the caller to map back to term/shard/salt), block_seq,
+    first_doc, last_doc, n_docs, max_tf, min_dl, block_cf, postings_bin.
+    Block format per block is unchanged: varint(deltas) ++ varint(tfs) ++
+    varint(dls), first delta in each block absolute.
     """
-    order = np.argsort(doc_ids, kind="stable")
-    d = np.asarray(doc_ids)[order]
-    t = np.asarray(tfs)[order]
-    l = np.asarray(dls)[order]
-    n = d.size
-    starts = np.arange(0, n, block_size)
-    ends = np.minimum(starts + block_size, n)
-    n_blocks = starts.size
+    r = np.asarray(run_id, dtype=np.int64)
+    n = r.size
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return {
+            "run_idx": e, "block_seq": e, "first_doc": e, "last_doc": e,
+            "n_docs": e, "max_tf": e, "min_dl": e, "block_cf": e,
+            "postings_bin": [],
+        }
+    order = np.lexsort((doc_ids, r))
+    r = r[order]
+    d = np.asarray(doc_ids, dtype=np.int64)[order]
+    t = np.asarray(tfs, dtype=np.int64)[order]
+    l = np.asarray(dls, dtype=np.int64)[order]
 
-    imp = bm25_impact(t, l, idf, k1, b, avgdl)
-    max_imp = np.maximum.reduceat(imp, starts)
+    idx = np.arange(n)
+    is_run_start = np.empty(n, dtype=bool)
+    is_run_start[0] = True
+    is_run_start[1:] = r[1:] != r[:-1]
+    run_of = np.cumsum(is_run_start) - 1  # dense run ordinal per posting
+    run_starts = idx[is_run_start]
+    within_run = idx - run_starts[run_of]
 
-    deltas = np.diff(d, prepend=0)
-    deltas[starts] = d[starts]  # first delta in each block is absolute
+    is_block_start = (within_run % block_size) == 0  # run starts are block starts
+    block_starts = idx[is_block_start]
+    block_of = np.cumsum(is_block_start) - 1
+    n_blocks = block_starts.size
+    block_ends = np.concatenate((block_starts[1:], [n]))
+    lens = block_ends - block_starts
 
-    # interleaved per-block layout: [deltas_b, tfs_b, dls_b] x blocks
-    parts = []
-    for i in range(n_blocks):
-        s, e = starts[i], ends[i]
-        parts.append(deltas[s:e])
-        parts.append(t[s:e])
-        parts.append(l[s:e])
-    vals = np.concatenate(parts).astype(np.uint64)
+    run_idx = run_of[block_starts]
+    first_block_of_run = (np.cumsum(is_block_start) - 1)[run_starts]
+    block_seq = np.arange(n_blocks) - first_block_of_run[run_idx]
+
+    max_tf = np.maximum.reduceat(t, block_starts)
+    min_dl = np.minimum.reduceat(l, block_starts)
+    block_cf = np.add.reduceat(t, block_starts)
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = d[0]
+    deltas[1:] = d[1:] - d[:-1]
+    deltas[block_starts] = d[block_starts]  # first delta per block is absolute
+
+    # interleaved value layout per block: [deltas_b, tfs_b, dls_b]; block b's
+    # values occupy [3*block_start_b, 3*block_end_b) because blocks are
+    # contiguous posting ranges
+    w = idx - block_starts[block_of]
+    pos_delta = 3 * block_starts[block_of] + w
+    pos_tf = pos_delta + lens[block_of]
+    pos_dl = pos_tf + lens[block_of]
+    vals = np.empty(3 * n, dtype=np.uint64)
+    vals[pos_delta] = deltas.astype(np.uint64)
+    vals[pos_tf] = t.astype(np.uint64)
+    vals[pos_dl] = l.astype(np.uint64)
+
     buf, sizes = varint_encode_with_sizes(vals)
     byte_ends = np.cumsum(sizes)
-
-    lens = ends - starts
-    val_ends = np.cumsum(3 * lens)  # value-index end per block
-    block_byte_ends = byte_ends[val_ends - 1]
+    block_byte_ends = byte_ends[3 * block_ends - 1]
     block_byte_starts = np.concatenate(([0], block_byte_ends[:-1]))
 
     return {
-        "block_seq": list(range(n_blocks)),
-        "first_doc": d[starts].tolist(),
-        "last_doc": d[ends - 1].tolist(),
-        "n_docs": lens.tolist(),
-        "max_impact": max_imp.tolist(),
+        "run_idx": run_idx,
+        "block_seq": block_seq,
+        "first_doc": d[block_starts],
+        "last_doc": d[block_ends - 1],
+        "n_docs": lens,
+        "max_tf": max_tf,
+        "min_dl": min_dl,
+        "block_cf": block_cf,
         "postings_bin": [
-            buf[block_byte_starts[i] : block_byte_ends[i]] for i in range(n_blocks)
+            buf[s:e] for s, e in zip(block_byte_starts, block_byte_ends)
         ],
     }
 
@@ -198,14 +254,12 @@ def make_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf: float,
-    k1: float,
-    b: float,
-    avgdl: float,
     block_size: int = BLOCK_SIZE_DEFAULT,
 ):
-    """Row-dict view over encode_group_blocks (kept for tests/callers that
-    want per-block dicts)."""
-    cols = encode_group_blocks(doc_ids, tfs, dls, idf, k1, b, avgdl, block_size)
-    for i in range(len(cols["block_seq"])):
-        yield {k: cols[k][i] for k in cols}
+    """Row-dict view over encode_runs_blocks for a single posting list (tests
+    and small callers)."""
+    cols = encode_runs_blocks(
+        np.zeros(np.asarray(doc_ids).size, dtype=np.int64), doc_ids, tfs, dls, block_size
+    )
+    for i in range(len(cols["postings_bin"])):
+        yield {k: (cols[k][i] if k != "run_idx" else int(cols[k][i])) for k in cols}

@@ -2,28 +2,46 @@
 
 The reference delegates the whole build to Anserini's ``IndexCollection`` over JNI
 (/root/reference/src/searcher/lucene/index.rs:78-83). This module re-expresses the
-same semantics as DataFrame operators designed for 10^12-document scale:
+same semantics as DataFrame operators designed for 10^12-document scale.
 
-  explode(tokens)                       -> one row per (doc, term) occurrence
-  groupBy(term, doc_id, dl).count       -> tf  (partial+final hash agg, map-side combine)
-  groupBy(doc_id)/agg                   -> doc length + collection stats (N, avgdl)
-  groupBy(term).agg(count, sum)         -> df/cf -> idf dictionary
-  SALTED groupBy(term, salt)            -> head-term skew absorbed: a Zipf head term
-                                           ("the" at 10^12 docs) is split across
-                                           ceil(df / max_group) salt buckets, each
-                                           an independently sorted posting sublist
-  applyInPandas per (term, salt)        -> delta+varint blocks + block-max metadata
+ONE-PASS BUILD (the Lucene segment-writer model, Spark-shaped): a single
+``mapInPandas`` stage analyzes each document, accumulates per-segment inverted
+lists (a segment = up to ``seg_docs`` docs of ONE task — the only place a doc's
+postings are provably together), and emits delta+varint block-compressed posting
+rows directly. The corpus is never exploded into a (term, doc) relation, never
+shuffled, and never crosses the Arrow boundary twice:
 
-Posting lists are stored one row per (term, salt, block): no single giant row per
-head term, every block independently skippable at query time (block-max WAND), and
-the postings table can be written term-bucketed so parquet min/max stats prune
-files for a query's term set. Doc length is stored inline in each posting (like
-Lucene norms baked next to postings) so query time needs no doclen join.
+  docs ──mapInPandas──▶ postings(term, shard, salt, block, max_tf, min_dl, …)
+                             │  (block METADATA only — tiny vs the corpus)
+                             └─groupBy(term)──▶ dictionary(df, cf, idf)
+
+Everything collection-global (idf, avgdl) stays OUT of the encoded blocks:
+blocks carry idf-free bound metadata (max_tf, min_dl — see compress.py), the
+dictionary and collection stats are aggregated FROM the block metadata
+(df = Σ n_docs, cf = Σ block_cf per term; Σdl = Σ block_cf overall), and score
+bounds are evaluated with current global stats at query time. Consequences:
+
+  * zero corpus-scale shuffles in the whole build (the dictionary agg's input
+    is block metadata, ~|vocab|·n_segments rows);
+  * segments built at different times/parallelism merge exactly — streaming
+    micro-batch segments support block-max pruned search with NO compaction;
+  * the build stage is pure map → embarrassingly parallel, CPU-bound on the
+    analyzer, which is precisely the shape that scales linearly with executors.
+
+Head-term skew: a Zipf head term ("the" at 10^12 docs) never forms one giant
+group — its postings are split across segments by construction (≤ seg_docs
+docs each), each an independently sorted, independently skippable sublist.
+``shard`` (a hash-mix of the segment id, modulo the build-time ``n_shards``
+parameter) partitions the corpus into doc-disjoint groups for distributed
+query evaluation; ``salt`` carries the segment id for merge/compaction.
+Doc length is stored inline in each posting (like Lucene norms baked next to
+postings) so query time needs no doclen join.
 """
 
 from __future__ import annotations
 
 import math
+from collections import Counter
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -33,27 +51,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rustserini_spark.analysis import analyze_col, simple_tokens_col
-from rustserini_spark.operators.compress import BLOCK_SIZE_DEFAULT, encode_group_blocks
+from rustserini_spark.operators.compress import (
+    BLOCK_SIZE_DEFAULT,
+    block_upper_bound,
+    encode_runs_blocks,
+)
 
 K1_DEFAULT = 0.9  # Anserini SimpleSearcher defaults (reference delegation at
 B_DEFAULT = 0.4  # /root/reference/src/searcher/lucene/searcher.rs:35)
-MAX_GROUP_DEFAULT = 1 << 16  # max postings per (term, salt) group fed to one pandas group
 
+SEG_DOCS_DEFAULT = 1 << 16  # docs per segment: bounds the in-task encode state
 N_SHARDS_DEFAULT = 32  # doc shards: the unit of distributed query evaluation
 
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("shard", T.IntegerType(), False),
-        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("salt", T.LongType(), False),  # segment id (int64)
         T.StructField("block_seq", T.IntegerType(), False),
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
-        T.StructField("max_impact", T.DoubleType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
+        T.StructField("block_cf", T.LongType(), False),
         T.StructField("postings_bin", T.BinaryType(), False),
     ]
 )
+
+_POSTINGS_COLS = [f.name for f in POSTINGS_SCHEMA.fields]
+
+
+def shard_of_segment(seg: int, n_shards: int) -> int:
+    """Doc shard for a segment: 64-bit multiplicative mix, high bits taken.
+    seg = (pid << 32) | counter has structured low bits — a plain modulo would
+    collapse segments onto few shards and serialize the query path."""
+    return int(((seg * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> 32) % n_shards
 
 
 def tokens_col_for(mode: str):
@@ -64,24 +97,34 @@ def tokens_col_for(mode: str):
     raise ValueError(f"unknown analyzer mode {mode!r}")
 
 
+def analyze_fn_for(mode: str):
+    from rustserini_spark.analysis import analyze_text, simple_tokenize_text
+
+    fn = {"porter": analyze_text, "simple": simple_tokenize_text}.get(mode)
+    if fn is None:
+        raise ValueError(f"unknown analyzer mode {mode!r}")
+    return fn
+
+
 @dataclass
 class BM25Index:
-    """A built index: four tables + scalar collection stats.
+    """A built index: query-time tables + scalar collection stats.
 
     Spark analog of the opaque Lucene index directory the reference opens at
     /root/reference/src/searcher/lucene/searcher.rs:25-46 (num_docs surfaced
     there == self.n_docs here).
     """
 
-    postings: DataFrame  # POSTINGS_SCHEMA; one row per (term, salt, block)
+    postings: DataFrame  # POSTINGS_SCHEMA; one row per (term, shard, salt, block)
     dictionary: DataFrame  # (term, df, cf, idf, max_impact)
-    doclen: DataFrame  # (doc_id, dl) — kept for stats/ inspection; dl also inline
+    doclen: DataFrame  # (doc_id, dl) — stats/inspection only; dl is inline in postings
     n_docs: int
     avgdl: float
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     analyzer: str = "porter"
     block_size: int = BLOCK_SIZE_DEFAULT
+    n_shards: int = N_SHARDS_DEFAULT
     meta: dict = field(default_factory=dict)
 
     def materialize(self) -> "BM25Index":
@@ -101,22 +144,16 @@ def tokenize_docs(docs: DataFrame, text_col: str, id_col: str, analyzer: str) ->
 
 
 def exploded_term_freqs(docs: DataFrame, text_col: str, id_col: str, analyzer: str) -> DataFrame:
-    """(term, doc_id, dl, tf) — analysis + per-doc term counting in ONE Arrow
-    pass, emitted already exploded as flat primitive columns. tf is a
-    per-document computation, so this relation needs NO corpus shuffle at all
-    (the naive plan's explode + groupBy(term, doc) exchange is gone), and no
-    nested map/array columns cross the Arrow boundary (measured 3-5x slower).
-    Docs with zero tokens emit nothing here; collection stats account for them
-    separately (n_docs from a plain count)."""
-    from rustserini_spark.analysis import analyze_text, simple_tokenize_text
+    """(term, doc_id, dl, tf, seg) — analysis + per-doc term counting in ONE
+    Arrow pass, emitted already exploded as flat primitive columns (inspection
+    / oracle surface; the index build itself encodes blocks in-pass and never
+    materializes this relation). Zero corpus shuffles."""
     from rustserini_spark.analysis.analyzer import (
         TF_RELATION_SCHEMA,
         term_freq_batches_factory,
     )
 
-    fn = {"porter": analyze_text, "simple": simple_tokenize_text}.get(analyzer)
-    if fn is None:
-        raise ValueError(f"unknown analyzer mode {analyzer!r}")
+    fn = analyze_fn_for(analyzer)
     pairs = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
     return pairs.mapInPandas(term_freq_batches_factory(fn), TF_RELATION_SCHEMA)
 
@@ -134,10 +171,19 @@ def term_frequencies(tokens_df: DataFrame) -> DataFrame:
 
 def doclen_table(docs: DataFrame, tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, dl) for every doc, including zero-token docs (Lucene counts
-    them in maxDoc). Derived from the tf relation + a left join — only used
-    for the saved doclen artifact, never on the query path (dl is inline in
-    postings)."""
+    them in maxDoc)."""
     per_doc = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    all_ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    return all_ids.join(per_doc, "doc_id", "left").fillna({"dl": 0})
+
+
+def doclen_from_postings(docs: DataFrame, postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl) recovered from the index itself (dl is inline in every
+    posting). Lazy: only evaluated when the doclen artifact is actually read —
+    it is never on the build or query hot path."""
+    from rustserini_spark.streaming.incremental import decoded_postings
+
+    per_doc = decoded_postings(postings).groupBy("doc_id").agg(F.first("dl").alias("dl"))
     all_ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     return all_ids.join(per_doc, "doc_id", "left").fillna({"dl": 0})
 
@@ -147,86 +193,197 @@ def lucene_idf(df_col, n_docs: int):
     return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
 
 
-def _salted_postings(
-    tf_with_dict: DataFrame,
-    avgdl: float,
-    k1: float,
-    b: float,
-    block_size: int,
-    max_group: int,
+def expected_idf(df: int, n_docs: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ------------------------------------------------------------ one-pass encode --
+
+
+def encode_docs_factory(
+    analyze_fn,
+    block_size: int = BLOCK_SIZE_DEFAULT,
     n_shards: int = N_SHARDS_DEFAULT,
-) -> DataFrame:
-    """(term, doc_id, dl, tf, df, idf) -> compressed posting blocks, one row per
-    (term, shard, salt, block).
+    seg_docs: int = SEG_DOCS_DEFAULT,
+):
+    """mapInPandas generator: (doc_id, <text>) batches -> block-compressed
+    posting rows (POSTINGS_SCHEMA), the entire index-build data path in one
+    Arrow pass.
 
-    Document-sharded layout (the distributed-IR standard): shard =
-    pmod(xxhash64(doc_id), n_shards) partitions the corpus into disjoint doc
-    sets, so each shard can evaluate queries against its own postings exactly
-    and independently — query time shuffles matched blocks once (to shard
-    groups), never per query. Within a (term, shard), an adaptive salt bounds
-    the encode group at max_group postings, so even "the" at 10^12 docs never
-    exceeds one pandas group's budget.
+    Segment ids are assigned here — the one place where a document's postings
+    are provably all together — so every doc belongs to exactly one segment no
+    matter how upstream exchanges split batches. ``seg = (pid << 32) | counter``
+    as int64: partition ids to 2^31 and 2^32 segments per task, no overflow at
+    10^12-doc scale (round-1's int32 (pid<<14|ctr) overflowed at pid >= 2^17).
     """
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        seg_counter = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = pdf.iloc[:, 0].to_numpy()
+            texts = pdf.iloc[:, 1]
+            for lo in range(0, len(pdf), seg_docs):
+                hi = min(lo + seg_docs, len(pdf))
+                seg = (pid << 32) | seg_counter
+                seg_counter += 1
+                terms_l: list = []
+                tfs_l: list = []
+                docs_np: list = []
+                dls_np: list = []
+                for doc_id, text in zip(doc_ids[lo:hi], texts.iloc[lo:hi]):
+                    toks = analyze_fn(text)
+                    if not toks:
+                        continue
+                    c = Counter(toks)
+                    terms_l.extend(c.keys())
+                    tfs_l.extend(c.values())
+                    docs_np.append(np.full(len(c), doc_id, dtype=np.int64))
+                    dls_np.append(np.full(len(c), len(toks), dtype=np.int64))
+                if not terms_l:
+                    continue
+                terms = np.asarray(terms_l, dtype=object)
+                order = np.argsort(terms, kind="stable")
+                terms_s = terms[order]
+                new_run = np.empty(terms_s.size, dtype=bool)
+                new_run[0] = True
+                new_run[1:] = terms_s[1:] != terms_s[:-1]
+                run_id = np.cumsum(new_run) - 1
+                cols = encode_runs_blocks(
+                    run_id,
+                    np.concatenate(docs_np)[order],
+                    np.asarray(tfs_l, dtype=np.int64)[order],
+                    np.concatenate(dls_np)[order],
+                    block_size,
+                )
+                run_terms = terms_s[new_run]
+                shard = shard_of_segment(seg, n_shards)
+                nb = len(cols["postings_bin"])
+                yield pd.DataFrame(
+                    {
+                        "term": run_terms[cols["run_idx"]],
+                        "shard": np.full(nb, shard, dtype=np.int32),
+                        "salt": np.full(nb, seg, dtype=np.int64),
+                        "block_seq": cols["block_seq"].astype(np.int32),
+                        "first_doc": cols["first_doc"],
+                        "last_doc": cols["last_doc"],
+                        "n_docs": cols["n_docs"].astype(np.int32),
+                        "max_tf": cols["max_tf"],
+                        "min_dl": cols["min_dl"],
+                        "block_cf": cols["block_cf"],
+                        "postings_bin": np.asarray(cols["postings_bin"], dtype=object),
+                    }
+                )
+
+    return gen
+
+
+def encode_postings(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    analyzer: str,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    n_shards: int = N_SHARDS_DEFAULT,
+    seg_docs: int = SEG_DOCS_DEFAULT,
+) -> DataFrame:
+    """docs -> block-compressed postings, zero shuffles (pure map stage)."""
+    pairs = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col))
+    return pairs.mapInPandas(
+        encode_docs_factory(analyze_fn_for(analyzer), block_size, n_shards, seg_docs),
+        POSTINGS_SCHEMA,
+    )
+
+
+def dictionary_from_postings(
+    postings: DataFrame, n_docs: int, avgdl: float, k1: float, b: float
+) -> DataFrame:
+    """(term, df, cf, idf, max_impact) aggregated from block METADATA — the
+    only exchange in the whole build, over ~|vocab|·n_segments rows. Valid
+    because segments (and blocks within a term) are doc-disjoint: df = Σ
+    n_docs, cf = Σ block_cf. max_impact is the per-term global score upper
+    bound for MaxScore term ordering, computed from the idf-free block bounds
+    under the supplied global stats."""
     safe_avgdl = avgdl if avgdl > 0 else 1.0
+    base = F.col("max_tf") / (
+        F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / safe_avgdl)
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("block_cf").alias("cf"),
+            F.max(base).alias("_base"),
+        )
+        .withColumn("idf", lucene_idf(F.col("df"), n_docs))
+        .withColumn("max_impact", F.col("idf") * F.col("_base"))
+        .drop("_base")
+    )
 
-    # SEGMENT-LOCAL ENCODE — zero corpus-scale shuffle (Lucene's own model:
-    # each writer emits an immutable segment; merge happens later). The tf
-    # relation carries ``seg``, assigned inside the analyzer where each doc's
-    # rows are provably together: segments are doc-disjoint no matter how
-    # joins or Arrow batch boundaries reorder/split rows here. salt = seg and
-    # shard = seg mod n_shards give the query path its doc-disjoint grouping
-    # key. The idf needed for block-max bounds arrives via a broadcast of the
-    # (small) dictionary — the only exchange in the whole postings plan is the
-    # dictionary's own partial agg.
-    #
-    # Trade-off, by design: tail terms get one tiny block per segment, so the
-    # block-row count grows with segment count; streaming.compact_segments is
-    # the merge stage that rewrites them into dense sorted global lists.
-    joined = tf_with_dict.select("term", "doc_id", "tf", "dl", "idf", "seg")
-    out_cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
-    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
-        # Knuth multiplicative mix: seg = (pid<<14)|counter has low bits that
-        # are mostly zero, so a plain modulo would collapse every segment into
-        # shard 0 and serialize the whole query path.
-        shard = (((seg * 0x9E3779B1) & 0xFFFFFFFF) >> 16) % n_shards
-        terms = pdf["term"].to_numpy()
-        order = np.argsort(terms, kind="stable")
-        terms = terms[order]
-        d = pdf["doc_id"].to_numpy()[order]
-        t = pdf["tf"].to_numpy()[order]
-        l = pdf["dl"].to_numpy()[order]
-        idf = pdf["idf"].to_numpy()[order]
-        change = np.flatnonzero(terms[1:] != terms[:-1])
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [len(terms)]))
-        acc = {c: [] for c in out_cols}
-        for s, e in zip(starts, ends):
-            cols = encode_group_blocks(
-                d[s:e], t[s:e], l[s:e], float(idf[s]), k1, b, safe_avgdl, block_size
-            )
-            n = len(cols["block_seq"])
-            acc["term"].append(np.full(n, terms[s], dtype=object))
-            acc["shard"].append(np.full(n, shard, dtype=np.int32))
-            acc["salt"].append(np.full(n, seg, dtype=np.int32))
-            for c in ("block_seq", "first_doc", "last_doc", "n_docs", "max_impact"):
-                acc[c].append(np.asarray(cols[c]))
-            acc["postings_bin"].append(np.array(cols["postings_bin"], dtype=object))
-        return pd.DataFrame({c: np.concatenate(acc[c]) if acc[c] else [] for c in out_cols})
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "porter",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    seg_docs: int = SEG_DOCS_DEFAULT,
+    n_shards: int = N_SHARDS_DEFAULT,
+    n_docs: int | None = None,
+) -> BM25Index:
+    """One-pass in-memory build. ``n_shards`` is a first-class build parameter
+    recorded on the index (query-path parallelism = shard count); pass
+    ``n_docs`` if the caller already knows the corpus size (skips one count)."""
+    # A corpus arriving in fewer partitions than the cluster has task slots
+    # serializes the (pandas-UDF) encode stage; re-split it first. On a real
+    # cluster the input table should already be partitioned and this is a no-op.
+    # (JVM-side partition count: no Python RDD materialization.)
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs._jdf.rdd().getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
 
-    # groupBy(seg): a plain hash exchange of fixed-width rows (no sort, no
-    # string keys) delivering each WHOLE segment (<= SEG_DOCS docs) to one
-    # encode call — no fragmentation, no per-batch stitching, group size
-    # bounded by the analyzer's segment cap.
-    return joined.groupBy("seg").applyInPandas(encode_segment, POSTINGS_SCHEMA)
+    postings = encode_postings(
+        docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
+    ).persist()
+
+    # Collection stats from block metadata: Σ block_cf == Σ dl exactly; N
+    # counts every doc (zero-token docs included, matching Lucene's maxDoc).
+    if n_docs is None:
+        n_docs = docs.count()
+    total_tokens = postings.agg(F.sum("block_cf")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    dictionary = dictionary_from_postings(postings, n_docs, avgdl, k1, b)
+    doclen = doclen_from_postings(docs, postings, id_col)
+
+    return BM25Index(
+        postings=postings,
+        dictionary=dictionary,
+        doclen=doclen,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=k1,
+        b=b,
+        analyzer=analyzer,
+        block_size=block_size,
+        n_shards=n_shards,
+    )
+
+
+# ------------------------------------------------------ merge/compaction layout --
 
 
 def _sorted_postings(
-    tf_with_dict: DataFrame,
-    avgdl: float,
-    k1: float,
-    b: float,
+    tf_rel: DataFrame,
+    df_by_term: DataFrame,
     block_size: int,
     max_group: int,
     n_shards: int = N_SHARDS_DEFAULT,
@@ -234,47 +391,58 @@ def _sorted_postings(
     """Merge/optimize encoder (the O9 segment-merge layout): one shuffle keyed
     by doc-hash-derived (term, shard, salt) + an in-partition sort, then a
     streaming run encoder. Produces dense, globally-merged posting sublists —
-    the layout compaction rewrites fast-built segment postings into. Unlike
-    the segment-local encoder it does not need a ``seg`` column (shard/salt
-    derive from doc_id, so doc-disjointness is by hash)."""
+    the layout compaction rewrites fast-built segment postings into. Shard and
+    salt derive from doc_id (doc-disjointness by hash); ``df_by_term`` (term,
+    df) sizes the per-term salt fan-out so no run exceeds ``max_group``
+    postings. idf-free: blocks carry (max_tf, min_dl) like the one-pass build.
+    """
     n_salts = F.greatest(
         F.lit(1), F.ceil(F.col("df") / F.lit(max_group * n_shards))
     ).cast("int")
-    keyed = tf_with_dict.withColumn(
+    keyed = tf_rel.join(F.broadcast(df_by_term), "term").withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-    ).withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), n_salts).cast("int"))
+    ).withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(1)), n_salts).cast("long"))
     parts = keyed.select(
-        "term", "shard", "salt", "doc_id", "tf", "dl", "idf"
+        "term", "shard", "salt", "doc_id", "tf", "dl"
     ).repartition("term", "shard", "salt").sortWithinPartitions("term", "shard", "salt")
-    safe_avgdl = avgdl if avgdl > 0 else 1.0
-    out_cols = [f.name for f in POSTINGS_SCHEMA.fields]
 
     def encode_runs(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term"].to_numpy()
         shards = pdf["shard"].to_numpy()
         salts = pdf["salt"].to_numpy()
-        change = np.flatnonzero(
+        new_run = np.empty(len(pdf), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (
             (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]) | (salts[1:] != salts[:-1])
         )
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [len(pdf)]))
-        d = pdf["doc_id"].to_numpy()
-        t = pdf["tf"].to_numpy()
-        l = pdf["dl"].to_numpy()
-        idf = pdf["idf"].to_numpy()
-        acc = {c: [] for c in out_cols}
-        for s, e in zip(starts, ends):
-            cols = encode_group_blocks(
-                d[s:e], t[s:e], l[s:e], float(idf[s]), k1, b, safe_avgdl, block_size
-            )
-            n = len(cols["block_seq"])
-            acc["term"].append(np.full(n, terms[s], dtype=object))
-            acc["shard"].append(np.full(n, shards[s], dtype=np.int32))
-            acc["salt"].append(np.full(n, salts[s], dtype=np.int32))
-            for c in ("block_seq", "first_doc", "last_doc", "n_docs", "max_impact"):
-                acc[c].append(np.asarray(cols[c]))
-            acc["postings_bin"].append(np.array(cols["postings_bin"], dtype=object))
-        return pd.DataFrame({c: np.concatenate(acc[c]) if acc[c] else [] for c in out_cols})
+        run_id = np.cumsum(new_run) - 1
+        cols = encode_runs_blocks(
+            run_id,
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["dl"].to_numpy(),
+            block_size,
+        )
+        starts = np.flatnonzero(new_run)
+        ri = cols["run_idx"]
+        nb = len(cols["postings_bin"])
+        return pd.DataFrame(
+            {
+                "term": terms[starts][ri],
+                "shard": shards[starts][ri].astype(np.int32),
+                "salt": salts[starts][ri].astype(np.int64),
+                "block_seq": cols["block_seq"].astype(np.int32),
+                "first_doc": cols["first_doc"],
+                "last_doc": cols["last_doc"],
+                "n_docs": cols["n_docs"].astype(np.int32),
+                "max_tf": cols["max_tf"],
+                "min_dl": cols["min_dl"],
+                "block_cf": cols["block_cf"],
+                "postings_bin": np.asarray(cols["postings_bin"], dtype=object)
+                if nb
+                else np.empty(0, dtype=object),
+            }
+        )
 
     def encode_stream(batches):
         carry = None
@@ -300,74 +468,6 @@ def _sorted_postings(
     return parts.mapInPandas(encode_stream, POSTINGS_SCHEMA)
 
 
-def build_index(
-    spark: SparkSession,
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    analyzer: str = "porter",
-    k1: float = K1_DEFAULT,
-    b: float = B_DEFAULT,
-    block_size: int = BLOCK_SIZE_DEFAULT,
-    max_group: int = MAX_GROUP_DEFAULT,
-) -> BM25Index:
-    # A corpus arriving in fewer partitions than the cluster has task slots
-    # serializes the (pandas-UDF) analysis stage; re-split it first. On a real
-    # cluster the input table should already be partitioned/bucketed and this
-    # is a no-op.
-    parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
-
-    # Cache the flat analyzed tf relation: three downstream consumers (stats,
-    # dictionary, postings) would otherwise re-run the Arrow analysis pass per
-    # action. At true 10^12 scale this cache becomes a checkpointed stage
-    # table (sources/catalog.py) instead of executor memory.
-    tf = exploded_term_freqs(docs, text_col, id_col, analyzer).persist()
-
-    # Collection stats: N counts every doc (zero-token docs included, matching
-    # Lucene's maxDoc); avgdl = total token count / N, and Σtf == Σdl exactly.
-    n_docs = docs.count()
-    total_tokens = tf.agg(F.sum("tf")).collect()[0][0] or 0
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
-    doclen = doclen_table(docs, tf, id_col)
-
-    dictionary = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("idf", lucene_idf(F.col("df"), n_docs))
-    )
-
-    # Salted two-phase posting build: n_salts grows with df so no pandas group
-    # exceeds max_group postings. Tail terms (the vast majority) get salt=0 —
-    # a single group, no extra shuffle cost.
-    tf_with_df = tf.join(dictionary.select("term", "df", "idf"), "term")
-    postings = _salted_postings(tf_with_df, avgdl, k1, b, block_size, max_group)
-
-    # Per-term global score upper bound for MaxScore/WAND term ordering.
-    dictionary = dictionary.join(
-        postings.groupBy("term").agg(F.max("max_impact").alias("max_impact")),
-        "term",
-        "left",
-    )
-
-    return BM25Index(
-        postings=postings,
-        dictionary=dictionary,
-        doclen=doclen,
-        n_docs=n_docs,
-        avgdl=avgdl,
-        k1=k1,
-        b=b,
-        analyzer=analyzer,
-        block_size=block_size,
-    )
-
-
-def expected_idf(df: int, n_docs: int) -> float:
-    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-
 # ------------------------------------------------- checkpointed (resumable) --
 
 
@@ -382,76 +482,41 @@ def build_index_checkpointed(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     block_size: int = BLOCK_SIZE_DEFAULT,
-    max_group: int = MAX_GROUP_DEFAULT,
+    seg_docs: int = SEG_DOCS_DEFAULT,
+    n_shards: int = N_SHARDS_DEFAULT,
     postings_buckets: int | None = None,
 ) -> tuple[BM25Index, list]:
-    """Resumable index build: every stage checkpoints through the Catalog with
-    per-partition lineage; a rerun skips stages whose fingerprint matches (the
-    north-rule resume semantics — kill it after any stage, rerun, identical
+    """Resumable one-pass build: every stage checkpoints through the Catalog
+    with per-partition lineage; a rerun skips stages whose fingerprint matches
+    (the north-rule resume semantics — kill after any stage, rerun, identical
     final tables). Returns (index, [StageResult...]).
 
+    Stage order matches the one-pass dataflow: postings first (the only
+    corpus-scale stage), then stats/dictionary/doclen derived from it.
     Physical layout: the postings table is repartitioned by term and sorted
-    within files by (term, salt, block_seq) so a query's isin(term) filter
-    prunes parquet row groups via min/max stats.
+    within files by (term, shard, salt, block_seq) so a query's isin(term)
+    filter prunes parquet row groups via min/max stats.
     """
     from rustserini_spark.sources.catalog import Catalog, fingerprint
 
     cat = Catalog(checkpoint_dir)
     results = []
-    fp_base = fingerprint("v1", input_id, analyzer, text_col, id_col)
+    fp_base = fingerprint(
+        "v2", input_id, analyzer, text_col, id_col, block_size, seg_docs, n_shards
+    )
 
-    fp_tok = fingerprint(fp_base, "tokens")
-    fp_tf = fingerprint(fp_tok, "tf")
-    fp_dl = fingerprint(fp_tok, "doclen")
-
-    need_tf = not cat.is_current("tf", fp_tf)
-    need_dl = not cat.is_current("doclen", fp_dl)
-    if need_tf or need_dl:
-        parallelism = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < parallelism:
-            docs = docs.repartition(parallelism)
-        tf_live = exploded_term_freqs(docs, text_col, id_col, analyzer)
-        results.append(cat.write_stage("tf", tf_live, fp_tf))
-        tf = cat.read(spark, "tf")
-        results.append(cat.write_stage("doclen", doclen_table(docs, tf, id_col), fp_dl))
-    else:
-        results.append(cat.write_stage("doclen", None, fp_dl))  # returns reused
-        results.append(cat.write_stage("tf", None, fp_tf))
-
-    doclen = cat.read(spark, "doclen")
-    tf = cat.read(spark, "tf")
-
-    stats = cat.read_json("stats.json")
-    if not stats or stats.get("fingerprint") != fp_dl:
-        row = doclen.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")).collect()[0]
-        stats = {
-            "n_docs": int(row["n"]),
-            "avgdl": float(row["a"] or 0.0),
-            "fingerprint": fp_dl,
-        }
-        cat.write_json("stats.json", stats)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-
-    fp_dict = fingerprint(fp_tf, "dictionary", n_docs)
-    if not cat.is_current("dictionary", fp_dict):
-        dictionary = (
-            tf.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-            .withColumn("idf", lucene_idf(F.col("df"), n_docs))
-        )
-        results.append(cat.write_stage("dictionary", dictionary, fp_dict))
-    else:
-        results.append(cat.write_stage("dictionary", None, fp_dict))
-    dictionary = cat.read(spark, "dictionary")
-
-    fp_post = fingerprint(fp_dict, "postings", k1, b, block_size, max_group, avgdl)
+    fp_post = fingerprint(fp_base, "postings")
     if not cat.is_current("postings", fp_post):
-        tf_with_df = tf.join(dictionary.select("term", "df", "idf"), "term")
-        postings = _salted_postings(tf_with_df, avgdl, k1, b, block_size, max_group)
+        parallelism = spark.sparkContext.defaultParallelism
+        if docs._jdf.rdd().getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism)
+        postings_live = encode_postings(
+            docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
+        )
         results.append(
             cat.write_stage(
                 "postings",
-                postings,
+                postings_live,
                 fp_post,
                 repartition_by=["term"],
                 n_partitions=postings_buckets,
@@ -462,11 +527,34 @@ def build_index_checkpointed(
         results.append(cat.write_stage("postings", None, fp_post))
     postings = cat.read(spark, "postings")
 
-    # fold the per-term global upper bound into the dictionary view at read
-    # time (cheap re-agg over the small postings-metadata columns)
-    dict_full = dictionary.join(
-        postings.groupBy("term").agg(F.max("max_impact").alias("max_impact")), "term", "left"
-    )
+    stats = cat.read_json("stats.json")
+    if not stats or stats.get("fingerprint") != fp_post:
+        n_docs = docs.count()
+        total_tokens = postings.agg(F.sum("block_cf")).collect()[0][0] or 0
+        stats = {
+            "n_docs": int(n_docs),
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "fingerprint": fp_post,
+        }
+        cat.write_json("stats.json", stats)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    fp_dict = fingerprint(fp_post, "dictionary", n_docs)
+    if not cat.is_current("dictionary", fp_dict):
+        dictionary = dictionary_from_postings(postings, n_docs, avgdl, k1, b)
+        results.append(cat.write_stage("dictionary", dictionary, fp_dict))
+    else:
+        results.append(cat.write_stage("dictionary", None, fp_dict))
+    dictionary = cat.read(spark, "dictionary")
+
+    fp_dl = fingerprint(fp_post, "doclen")
+    if not cat.is_current("doclen", fp_dl):
+        results.append(
+            cat.write_stage("doclen", doclen_from_postings(docs, postings, id_col), fp_dl)
+        )
+    else:
+        results.append(cat.write_stage("doclen", None, fp_dl))
+    doclen = cat.read(spark, "doclen")
 
     cat.write_json(
         "index.json",
@@ -475,15 +563,16 @@ def build_index_checkpointed(
             "k1": k1,
             "b": b,
             "block_size": block_size,
-            "max_group": max_group,
+            "seg_docs": seg_docs,
+            "n_shards": n_shards,
             "n_docs": n_docs,
             "avgdl": avgdl,
-            "fingerprints": {"tf": fp_tf, "doclen": fp_dl, "dictionary": fp_dict, "postings": fp_post},
+            "fingerprints": {"postings": fp_post, "dictionary": fp_dict, "doclen": fp_dl},
         },
     )
     index = BM25Index(
         postings=postings,
-        dictionary=dict_full,
+        dictionary=dictionary,
         doclen=doclen,
         n_docs=n_docs,
         avgdl=avgdl,
@@ -491,6 +580,7 @@ def build_index_checkpointed(
         b=b,
         analyzer=analyzer,
         block_size=block_size,
+        n_shards=n_shards,
         meta={"checkpoint_dir": checkpoint_dir},
     )
     return index, results
@@ -506,9 +596,7 @@ def load_index(spark: SparkSession, checkpoint_dir: str) -> BM25Index:
     if not meta:
         raise FileNotFoundError(f"no index.json under {checkpoint_dir}")
     postings = cat.read(spark, "postings")
-    dictionary = cat.read(spark, "dictionary").join(
-        postings.groupBy("term").agg(F.max("max_impact").alias("max_impact")), "term", "left"
-    )
+    dictionary = cat.read(spark, "dictionary")
     return BM25Index(
         postings=postings,
         dictionary=dictionary,
@@ -519,5 +607,6 @@ def load_index(spark: SparkSession, checkpoint_dir: str) -> BM25Index:
         b=meta["b"],
         analyzer=meta["analyzer"],
         block_size=meta["block_size"],
+        n_shards=meta.get("n_shards", N_SHARDS_DEFAULT),
         meta={"checkpoint_dir": checkpoint_dir},
     )

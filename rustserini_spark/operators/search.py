@@ -40,11 +40,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rustserini_spark.operators.compress import (
+    block_upper_bound,
     bm25_impact,
     decode_blocks_batch,
     decode_posting_block,
 )
 from rustserini_spark.operators.index_build import BM25Index, tokens_col_for
+
+# Above this many analyzed (qid, term) rows the pruned path's driver-side
+# query/idf closure stops being "tiny"; fall back to the fully distributed
+# exhaustive plan instead of silently shipping a huge closure to every task.
+MAX_LOCAL_QUERY_TERMS = 100_000
+
+# Per-shard-task decode memo budget (decoded postings retained), so a
+# head-term-heavy batch cannot hold an unbounded slice of the corpus decoded
+# in one task.
+DECODE_CACHE_MAX_POSTINGS = 4_000_000
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -172,7 +183,7 @@ def _shard_topk(
     k1: float,
     b: float,
     avgdl: float,
-    decoded_cache: dict,
+    decoded_cache: "_DecodeCache",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lossless block-max MaxScore for one query on one doc shard (pure NumPy).
 
@@ -214,7 +225,7 @@ def _shard_topk(
             for j, pos in enumerate(todo):
                 sel = bidx == j
                 hit = (d[sel], base_imp[sel])
-                decoded_cache[int(rows[pos])] = hit
+                decoded_cache.put(int(rows[pos]), hit)
                 parts_d.append(hit[0])
                 parts_imp.append(hit[1] * qtf_row[pos])
         if not parts_d:
@@ -260,6 +271,28 @@ def _shard_topk(
     return cand[order], scores[order]
 
 
+class _DecodeCache:
+    """Per-shard-task decode memo with a posting-count budget: queries sharing
+    head terms decode each block once, but a head-term-heavy batch can never
+    hold more than ``max_postings`` decoded postings in one task (epoch
+    eviction: cheap, bounded, and re-decode amortizes within an epoch)."""
+
+    def __init__(self, max_postings: int = DECODE_CACHE_MAX_POSTINGS):
+        self._d: dict[int, tuple] = {}
+        self._n = 0
+        self._max = max_postings
+
+    def get(self, key: int):
+        return self._d.get(key)
+
+    def put(self, key: int, hit: tuple) -> None:
+        if self._n + hit[0].size > self._max:
+            self._d.clear()
+            self._n = 0
+        self._d[key] = hit
+        self._n += hit[0].size
+
+
 def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
     """Document-sharded block-max search (the distributed-IR standard).
 
@@ -268,13 +301,22 @@ def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> Dat
     inside its shard, each shard emits an exact local top-k per query, and a
     doc in the global top-k is necessarily in its shard's local top-k. The
     global merge is a window over shards x queries x k rows (tiny). Query
-    terms/idf travel in the task closure (driver-analyzed, small), so the plan
-    has no join fan-out at all: one shuffle + one window.
+    terms/idf travel in the task closure (driver-analyzed, small — huge query
+    batches fall back to the fully distributed exhaustive plan), so the plan
+    has no join fan-out at all: one shuffle + one window. Task parallelism =
+    the index's build-time ``n_shards``.
+
+    Block score bounds are computed HERE from the idf-free (max_tf, min_dl)
+    block metadata with the index's current global idf/avgdl — so pruning is
+    exact on any index, including a union of independently built segments
+    (open_segmented_index) with no compaction.
     """
     spark = queries.sparkSession
     qt_rows, terms = query_terms_local(queries, index.analyzer)
     if not terms:
         return _empty_result(spark)
+    if len(qt_rows) > MAX_LOCAL_QUERY_TERMS:
+        return bm25_search(index, queries, k)
     per_query: dict[str, dict[str, float]] = {}
     for qid, term, qtf in qt_rows:
         per_query.setdefault(qid, {})[term] = float(qtf)
@@ -290,14 +332,15 @@ def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> Dat
         terms_arr = pdf["term"].to_numpy()
         uniq_terms, term_idx = np.unique(terms_arr, return_inverse=True)
         rows_of = {t: np.flatnonzero(terms_arr == t) for t in uniq_terms}
-        term_pos = {t: i for i, t in enumerate(uniq_terms)}
         n_docs_arr = pdf["n_docs"].to_numpy(dtype=np.int64)
         first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
         last_doc = pdf["last_doc"].to_numpy(dtype=np.int64)
-        max_impact = pdf["max_impact"].to_numpy(dtype=np.float64)
         idf = np.array([idf_by_term.get(t, 0.0) for t in terms_arr])
+        max_impact = block_upper_bound(
+            pdf["max_tf"].to_numpy(), pdf["min_dl"].to_numpy(), idf, k1, b, avgdl
+        )
         bufs = list(pdf["postings_bin"])
-        decoded_cache: dict[int, tuple] = {}
+        decoded_cache = _DecodeCache()
 
         out_qid, out_doc, out_score = [], [], []
         for qid, tw in per_query.items():

@@ -13,18 +13,18 @@ module brings the same segment model to Spark, plus a streaming front end:
   replay (Structured Streaming's checkpoint guarantees batch_id stability).
 
 * ``open_segmented_index`` — query the union of segments with EXACT global
-  BM25 semantics: global N/avgdl from summed segment stats, global df (and
-  idf) from the merged dictionaries. Query-time scoring recomputes impacts
-  from the decoded (tf, dl) with the global idf, so results are identical to
-  a single batch build over the same docs (tested). Exhaustive path only: the
-  per-block max_impact bounds were computed with segment-local idf, so the
-  pruned path would need bound rescaling — compaction restores it.
+  BM25 semantics: global N/avgdl from summed segment stats, global df/idf
+  re-aggregated from block metadata. Because posting blocks carry IDF-FREE
+  bound metadata (max_tf, min_dl — compress.py), block-max PRUNED search is
+  exact on the segment union with no compaction: bounds are evaluated at query
+  time under the merged global stats. (Round 1 baked segment-local idf into
+  blocks, which made the segmented index exhaustive-only.)
 
 * ``compact_segments`` — the segment-merge stage: decode every segment's
   posting blocks back to (term, doc_id, dl, tf) rows (Arrow, distributed),
-  rebuild the global dictionary + salted block-compressed postings with global
-  stats, checkpoint through the Catalog. After compaction the block-max pruned
-  search path is valid again.
+  rebuild globally doc-hash-sharded dense postings (_sorted_postings layout)
+  — fewer, fuller blocks for tail terms; pruning tightness and scan locality
+  improve, correctness is identical before and after.
 """
 
 from __future__ import annotations
@@ -33,7 +33,6 @@ import json
 import os
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,15 +43,17 @@ from rustserini_spark.operators.index_build import (
     K1_DEFAULT,
     B_DEFAULT,
     BLOCK_SIZE_DEFAULT,
-    MAX_GROUP_DEFAULT,
-    _salted_postings,
+    N_SHARDS_DEFAULT,
+    SEG_DOCS_DEFAULT,
     _sorted_postings,
-    doclen_table,
-    exploded_term_freqs,
+    dictionary_from_postings,
+    doclen_from_postings,
+    encode_postings,
     lucene_idf,
 )
 
 SEG_PREFIX = "seg_"
+MAX_GROUP_DEFAULT = 1 << 16  # max postings per compacted (term, shard, salt) run
 
 
 def write_segment(
@@ -65,26 +66,25 @@ def write_segment(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     block_size: int = BLOCK_SIZE_DEFAULT,
-    max_group: int = MAX_GROUP_DEFAULT,
+    seg_docs: int = SEG_DOCS_DEFAULT,
+    n_shards: int = N_SHARDS_DEFAULT,
 ) -> dict:
-    """Build one immutable segment from a (micro-)batch of docs."""
-    tf = exploded_term_freqs(docs, text_col, id_col, analyzer).persist()
-    n_docs = docs.count()
-    sum_dl = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    doclen = doclen_table(docs, tf, id_col)
-    dictionary = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("idf", lucene_idf(F.col("df"), n_docs))
-    )
-    postings = _salted_postings(
-        tf.join(dictionary.select("term", "df", "idf"), "term"),
-        avgdl or 1.0, k1, b, block_size, max_group,
+    """Build one immutable segment from a (micro-)batch of docs — the same
+    one-pass encode as the batch build, scoped to the batch."""
+    postings = encode_postings(
+        docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
     )
     postings.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    postings = spark.read.parquet(os.path.join(seg_dir, "postings"))
+
+    n_docs = docs.count()
+    sum_dl = int(postings.agg(F.sum("block_cf")).collect()[0][0] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    dictionary = dictionary_from_postings(postings, n_docs, avgdl or 1.0, k1, b)
     dictionary.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
-    doclen.write.mode("overwrite").parquet(os.path.join(seg_dir, "doclen"))
+    doclen_from_postings(docs, postings, id_col).write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "doclen")
+    )
     stats = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
@@ -92,10 +92,10 @@ def write_segment(
         "k1": k1,
         "b": b,
         "block_size": block_size,
+        "n_shards": n_shards,
     }
     with open(os.path.join(seg_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
-    tf.unpersist()
     return stats
 
 
@@ -138,9 +138,10 @@ def _segments(base_dir: str) -> list[str]:
 
 
 def open_segmented_index(spark: SparkSession, base_dir: str) -> BM25Index:
-    """Union of segments with exact global BM25 stats (see module docstring).
-    Query with bm25_search (exhaustive); run compact_segments to re-enable the
-    pruned path."""
+    """Union of segments with exact global BM25 stats. Both search paths are
+    valid — including block-max pruned — because block bounds are idf-free and
+    evaluated under the global stats at query time (tested rank-identical to a
+    single batch build over the same docs)."""
     segs = _segments(base_dir)
     if not segs:
         raise FileNotFoundError(f"no segments under {base_dir}")
@@ -150,22 +151,26 @@ def open_segmented_index(spark: SparkSession, base_dir: str) -> BM25Index:
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     s0 = stats[0]
 
-    postings = None
-    dictionary = None
-    doclen = None
-    for s in segs:
-        p = spark.read.parquet(os.path.join(s, "postings"))
-        d = spark.read.parquet(os.path.join(s, "dictionary"))
-        dl = spark.read.parquet(os.path.join(s, "doclen"))
-        postings = p if postings is None else postings.unionByName(p)
-        dictionary = d if dictionary is None else dictionary.unionByName(d)
-        doclen = dl if doclen is None else doclen.unionByName(dl)
+    postings = spark.read.parquet(*[os.path.join(s, "postings") for s in segs])
+    doclen = spark.read.parquet(*[os.path.join(s, "doclen") for s in segs])
 
+    # global dictionary re-aggregated from per-segment df/cf (block metadata
+    # scale); idf recomputed under global N. max_impact: exact global per-term
+    # bound via the idf-free block bounds under global avgdl.
+    per_seg = spark.read.parquet(*[os.path.join(s, "dictionary") for s in segs])
+    safe_avgdl = avgdl or 1.0
+    k1, b = s0["k1"], s0["b"]
+    bound = F.col("max_tf") / (
+        F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / safe_avgdl)
+    )
+    base_by_term = postings.groupBy("term").agg(F.max(bound).alias("_base"))
     global_dict = (
-        dictionary.groupBy("term")
+        per_seg.groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .withColumn("idf", lucene_idf(F.col("df"), n_docs))
-        .withColumn("max_impact", F.lit(None).cast("double"))
+        .join(base_by_term, "term", "left")
+        .withColumn("max_impact", F.col("idf") * F.col("_base"))
+        .drop("_base")
     )
     return BM25Index(
         postings=postings,
@@ -173,10 +178,11 @@ def open_segmented_index(spark: SparkSession, base_dir: str) -> BM25Index:
         doclen=doclen,
         n_docs=n_docs,
         avgdl=avgdl,
-        k1=s0["k1"],
-        b=s0["b"],
+        k1=k1,
+        b=b,
         analyzer=s0["analyzer"],
         block_size=s0["block_size"],
+        n_shards=s0.get("n_shards", N_SHARDS_DEFAULT),
         meta={"segments": segs, "segmented": True},
     )
 
@@ -209,23 +215,23 @@ def compact_segments(
     base_dir: str,
     out_dir: str,
     max_group: int = MAX_GROUP_DEFAULT,
+    n_shards: int | None = None,
 ) -> BM25Index:
-    """Segment merge (O9): per-segment posting blocks -> global salted
+    """Segment merge (O9): per-segment posting blocks -> dense doc-hash-sharded
     block-compressed postings + dictionary with exact global stats."""
     seg_index = open_segmented_index(spark, base_dir)
+    n_shards = n_shards or seg_index.n_shards
     tf = decoded_postings(seg_index.postings)
-    dictionary = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-        .withColumn("idf", lucene_idf(F.col("df"), seg_index.n_docs))
+    dictionary = dictionary_from_postings(
+        seg_index.postings, seg_index.n_docs, seg_index.avgdl or 1.0,
+        seg_index.k1, seg_index.b,
     )
     postings = _sorted_postings(
-        tf.join(dictionary.select("term", "df", "idf"), "term"),
-        seg_index.avgdl or 1.0,
-        seg_index.k1,
-        seg_index.b,
+        tf,
+        dictionary.select("term", "df"),
         seg_index.block_size,
         max_group,
+        n_shards,
     )
     postings.repartition("term").sortWithinPartitions("term", "shard", "salt", "block_seq").write.mode(
         "overwrite"
@@ -240,6 +246,7 @@ def compact_segments(
                 "b": seg_index.b,
                 "block_size": seg_index.block_size,
                 "max_group": max_group,
+                "n_shards": n_shards,
                 "n_docs": seg_index.n_docs,
                 "avgdl": seg_index.avgdl,
                 "fingerprints": {},

@@ -41,7 +41,8 @@ def tiny_index(spark):
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": list(TINY_CORPUS), "text": list(TINY_CORPUS.values())})
     )
-    return build_index(spark, docs, block_size=4, max_group=8)
+    # tiny seg_docs/block_size force multi-segment, multi-block, multi-shard paths
+    return build_index(spark, docs, block_size=4, seg_docs=3, n_shards=4)
 
 
 @pytest.fixture(scope="module")
@@ -105,6 +106,33 @@ def test_canonical_query_top1(tiny_index, queries_df):
     assert got["q0"][0][1] == 0
 
 
+@pytest.mark.parametrize("n_shards", [8, 128])
+def test_n_shards_is_a_build_parameter(spark, documents, n_shards):
+    """Doc-shard count plumbs through the build (reference behavior target:
+    batch_search thread fan-out, /root/reference/src/searcher/lucene/
+    searcher.rs:101-154): results identical at any shard count, shards
+    populated (not collapsed onto one), recorded on the index."""
+    queries = [
+        ("d0", "spark query window merge"),
+        ("d1", "customer the batch value"),
+        ("d2", "hash join stream data"),
+    ]
+    qdf = spark.createDataFrame(pd.DataFrame(queries, columns=["qid", "query"]))
+    index = build_index(spark, documents, seg_docs=16, n_shards=n_shards)
+    assert index.n_shards == n_shards
+    shard_rows = index.postings.select("shard").distinct().collect()
+    shards_used = {r.shard for r in shard_rows}
+    assert all(0 <= s < n_shards for s in shards_used)
+    # 500 docs / seg_docs=16 ≈ 32 segments hash-mixed over shards: the mix
+    # must spread them (the round-1 modulo bug collapsed all onto shard 0)
+    assert len(shards_used) >= min(n_shards, 32) // 2
+    corpus = {r.doc_id: r.text for r in documents.collect()}
+    got = _collect(bm25_search_pruned(index, qdf, k=10))
+    for qid, query in queries:
+        expected = bm25_rank(corpus, query, k=10)
+        assert [a[1] for a in got.get(qid, [])] == [e[0] for e in expected], qid
+
+
 @pytest.mark.parametrize("pruned", [False, True])
 def test_parity_on_documents_table(spark, documents, pruned):
     """500-doc driver corpus, multi-term queries sampling head/mid/tail terms."""
@@ -116,7 +144,7 @@ def test_parity_on_documents_table(spark, documents, pruned):
         ("d3", "hash join stream data"),
     ]
     qdf = spark.createDataFrame(pd.DataFrame(queries, columns=["qid", "query"]))
-    index = build_index(spark, documents, block_size=32, max_group=64)
+    index = build_index(spark, documents, block_size=32, seg_docs=64, n_shards=8)
     fn = bm25_search_pruned if pruned else bm25_search
     got = _collect(fn(index, qdf, k=10))
     for qid, query in queries:

@@ -68,6 +68,20 @@ def test_stream_then_search_matches_batch_build(spark, documents, stream_dirs):
     assert got == expected
 
 
+def test_pruned_search_is_exact_on_segmented_index_without_compaction(
+    spark, documents, stream_dirs
+):
+    """Block bounds are idf-free (max_tf, min_dl evaluated under the merged
+    global stats at query time), so block-max pruning is exact on the raw
+    union of independently built segments — no compaction required."""
+    _inp, segs, _ckpt = stream_dirs
+    seg_index = open_segmented_index(spark, segs)
+    qdf = spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+    batch_index = build_index(spark, documents.select("doc_id", "text"))
+    expected = _run(bm25_search(batch_index, qdf, k=10))
+    assert _run(bm25_search_pruned(seg_index, qdf, k=10)) == expected
+
+
 def test_compaction_restores_pruned_path(spark, documents, stream_dirs, tmp_path_factory):
     _inp, segs, _ckpt = stream_dirs
     out = str(tmp_path_factory.mktemp("compacted"))

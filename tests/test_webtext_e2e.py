@@ -71,7 +71,7 @@ def test_docmap_dense_and_deterministic(spark, webtext):
 
 @pytest.fixture(scope="module")
 def wt_index(spark, webtext):
-    wt = index_webtext(spark, webtext, lang="en", block_size=16, max_group=64)
+    wt = index_webtext(spark, webtext, lang="en", block_size=16, seg_docs=64)
     wt.index.materialize()
     return wt
 
@@ -134,14 +134,15 @@ def test_checkpoint_resume(spark, webtext, tmp_path_factory):
     )
     assert all(s.reused for s in stages), [(s.name, s.reused) for s in stages]
 
-    # kill the last stage -> only it rebuilds, earlier stages stay reused
-    shutil.rmtree(f"{ckpt}/postings")
+    # kill a derived stage -> only it rebuilds; the corpus-scale postings
+    # stage stays reused (one-pass topology: postings -> dictionary/doclen)
+    shutil.rmtree(f"{ckpt}/dictionary")
     idx2, stages2 = build_index_checkpointed(
         spark, docs, checkpoint_dir=ckpt, input_id="wt400", block_size=16
     )
     by_name = {s.name: s.reused for s in stages2}
-    assert by_name["tf"] and by_name["doclen"] and by_name["dictionary"]
-    assert not by_name["postings"]
+    assert by_name["postings"] and by_name["doclen"]
+    assert not by_name["dictionary"]
 
     # reopened index answers identically
     idx3 = load_index(spark, ckpt)
