@@ -34,6 +34,7 @@ from rustserini_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_groups,
+    simhash_neardup_pairs,
     N_MINHASHES,
     N_BANDS,
 )
@@ -44,6 +45,7 @@ from rustserini_spark.operators.similarity import (
     cosine_topk,
     dot_topk,
     lsh_ann_topk,
+    lsh_neardup_pairs,
 )
 
 # ---------------------------------------------------------------- fixtures --
@@ -136,13 +138,22 @@ FROM bands a JOIN bands b
 """
 
 
-def _jaccard_sql(threshold: float = 0.8) -> str:
+def _jaccard_sql(threshold: float = 0.8, max_shingle_df: int | None = None) -> str:
+    join_src = "sh"
+    df_cte = ""
+    if max_shingle_df is not None:
+        df_cte = (
+            ", shdf AS (SELECT shingle FROM sh GROUP BY shingle "
+            f"HAVING count(*) <= {max_shingle_df}), "
+            "jsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shdf USING (shingle))"
+        )
+        join_src = "jsh"
     return f"""
 WITH {_DOCS_CTE},
-{_SH_CTE},
+{_SH_CTE}{df_cte},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM {join_src} a JOIN {join_src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
@@ -154,22 +165,67 @@ WHERE jaccard >= {threshold}
 """
 
 
-def _simhash_sql(n_bits: int = 16) -> str:
-    sums = ", ".join(
-        f"sum(CASE WHEN substr(md5(t || ':{b}'), 1, 1) IN "
-        f"('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(n_bits)
+# 64-bit simhash, exactly mirroring dedup._token_sign_vector: bit b of a token
+# is bit (b%4) of hex digit (b//4) of md5(token); fingerprint bit b set when
+# the occurrence-weighted ±1 sum is positive; value is two's-complement BIGINT.
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), {b//4+1}, 1)) - 1) >> {b%4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(64)
+)
+_SIMHASH_FP = (
+    " + ".join(
+        f"CASE WHEN coalesce(s{b}, 0) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(63)
     )
-    sh_expr = " + ".join(
-        f"CASE WHEN coalesce(s{b}, 0) > 0 THEN {1 << b} ELSE 0 END" for b in range(n_bits)
+    + " + CASE WHEN coalesce(s63, 0) > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+)
+def _simhash_band_sql(n_bands: int) -> str:
+    width = 64 // n_bands
+    return ", ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN coalesce(s{width*j+i}, 0) > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(width)
+        )
+        + f" AS BIGINT) AS band{j}"
+        for j in range(n_bands)
+    )
+
+
+def _simhash_fp_cte(n_bands: int | None = None) -> str:
+    bands = f", {_simhash_band_sql(n_bands)}" if n_bands else ""
+    return f"""
+tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+bits AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
+fp AS (SELECT d.doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash{bands}
+       FROM docs d LEFT JOIN bits USING (doc_id))"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+{_simhash_fp_cte()}
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper FROM fp GROUP BY simhash
+"""
+
+
+def _simhash_neardup_sql(max_hamming: int = 3, n_bands: int | None = None) -> str:
+    if n_bands is None:
+        n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d > max_hamming)
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, band{j} AS band_val FROM fp"
+        for j in range(n_bands)
     )
     return f"""
 WITH {_DOCS_CTE},
-tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
-bits AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
-fp AS (SELECT d.doc_id, CAST({sh_expr} AS BIGINT) AS simhash
-       FROM docs d LEFT JOIN bits USING (doc_id))
-SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper FROM fp GROUP BY simhash
+{_simhash_fp_cte(n_bands)},
+bands AS ({band_union}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sh_a, b.simhash AS sh_b
+         FROM bands a JOIN bands b
+           ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 
@@ -396,8 +452,36 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash_groups(spark, sf_dir):
-    out = simhash_dedup_groups(_docs(spark, sf_dir))
-    return out.withColumn("simhash", F.col("simhash").cast("long"))
+    return simhash_dedup_groups(_docs(spark, sf_dir))
+
+
+SIMHASH_MAX_HAMMING = 7  # short synthetic docs flip ~6 bits per token edit
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """64-bit simhash + 8x8-bit Hamming banding (banded candidate join, exact
+    popcount verify) vs a full SQL replay of the same fingerprint + bands."""
+    return simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+JACCARD_DF_CAP = 50
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Hot-shingle df-cap variant (the web-scale configuration): shingles in
+    more than JACCARD_DF_CAP docs are dropped from the join side."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, max_shingle_df=JACCARD_DF_CAP
+    )
+
+
+def q_lsh_neardup(spark, sf_dir):
+    """Composed buckets->verify embedding near-dup (approximate by
+    construction -> rows-only driver check; planted-dup recall is asserted in
+    tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_neardup_pairs(emb, dim=dim, threshold=0.5, n_planes=8)
 
 
 def q_embedding_cosine_topk(spark, sf_dir):
@@ -452,7 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash_groups": q_simhash_groups,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "lsh_neardup": q_lsh_neardup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dot_topk": q_embedding_dot_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -484,7 +571,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh_pairs": _minhash_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(),
+        "ngram_jaccard_capped": _jaccard_sql(max_shingle_df=JACCARD_DF_CAP),
         "simhash_groups": _simhash_sql(),
+        "simhash_neardup_pairs": _simhash_neardup_sql(SIMHASH_MAX_HAMMING),
+        # lsh_neardup: approximate (bucketed) — rows-only check.
         "embedding_cosine_topk": _emb_topk_sql(_EMB_COS, "cos"),
         "embedding_dot_topk": _emb_topk_sql("list_inner_product(qvec, cvec)", "dot"),
         "embedding_neardup": _emb_neardup_sql(),

@@ -11,9 +11,14 @@ exact DuckDB oracle:
                      bands of 2 -> band-bucket join produces candidate pairs.
                      At scale only the band groupBy shuffles; no O(n^2) stage.
 * n-gram Jaccard   — exact pairwise Jaccard over distinct 3-gram shingles via
-                     shingle-inverted self-join (the verify stage behind LSH).
-* simhash          — 16-bit sign fingerprint from md5-derived +-1 projections,
-                     Hamming-adjacent buckets for near-dup candidates.
+                     shingle-inverted self-join (the verify stage behind LSH),
+                     with an optional hot-shingle df cap for web scale.
+* simhash          — 64-bit sign fingerprint from md5-derived +-1 projections
+                     (Arrow-batched, one md5 per distinct token), 4x16-bit
+                     Hamming bands for near-dup candidate generation: two docs
+                     within Hamming distance 3 share >=1 exact band
+                     (pigeonhole), so candidates come from 4 band-bucket
+                     joins, never an all-pairs stage.
 
 The reference has no dedup surface (single-purpose IR engine); these are the
 first-class additions a training-data pipeline over the same corpus needs.
@@ -21,6 +26,11 @@ first-class additions a training-data pipeline over the same corpus needs.
 
 from __future__ import annotations
 
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from rustserini_spark.functions.parity import r4
@@ -28,6 +38,9 @@ from rustserini_spark.functions.text import shingles_col, with_tokens
 
 N_MINHASHES = 16
 N_BANDS = 8  # rows-per-band = 2
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands -> exact-band match for Hamming <= 3
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,19 +89,28 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) from banded minhash LSH.
 
     Plan shape at scale: explode shingles (map) -> groupBy(doc) 16-way min agg
     (one shuffle) -> explode bands (map) -> groupBy(band bucket) (one shuffle)
     -> within-bucket pair expansion. Bucket sizes are bounded by collision
-    probability, not corpus size; a pathological all-identical corpus degrades
-    to the exact-dedup case which is handled upstream.
+    probability, not corpus size; for boilerplate-heavy web corpora pass
+    ``max_bucket`` to drop buckets above the cap (pair expansion is quadratic
+    per bucket; a bucket with millions of members is an exact-dup cluster
+    better handled by exact_dedup upstream).
     """
-    rows_per_band = n_hashes // n_bands
     # distinct=True: dedup shingles BEFORE the 16-way md5 min-agg — cheaper to
     # shuffle-dedup once than to md5 every duplicate 16 times.
     sig = minhash_signatures(doc_shingles(docs, text_col, id_col, distinct=True), n_hashes)
+    return _banded_pairs(sig, n_hashes, n_bands, max_bucket)
+
+
+def _banded_pairs(
+    sig: DataFrame, n_hashes: int, n_bands: int, max_bucket: int | None
+) -> DataFrame:
+    rows_per_band = n_hashes // n_bands
     bands = [
         F.struct(
             F.lit(bi).alias("band_id"),
@@ -101,6 +123,11 @@ def minhash_lsh_pairs(
     exploded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+    if max_bucket is not None:
+        counts = exploded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+        exploded = exploded.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_id", "band_hash"]
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -119,16 +146,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >= threshold.
 
     Shingle-inverted self-join: only docs sharing >=1 shingle ever pair up.
     At 100 TB the LSH pass above prefilters candidates; this is the exact
     verify applied to its output (compose: pairs.join(this)).
+
+    ``max_shingle_df`` (standard hot-shingle cap): drop shingles appearing in
+    more than N docs from the JOIN side only — a shingle shared by millions of
+    docs is boilerplate that contributes quadratic join fan-out and almost no
+    Jaccard mass. Doc shingle-set sizes stay exact, so reported Jaccard for
+    surviving pairs is a (tight) lower bound; true near-dups (J >= 0.8) share
+    many rare shingles and still pair up. Default None = exact.
     """
     sh = doc_shingles(docs, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    join_sh = sh
+    if max_shingle_df is not None:
+        sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        join_sh = sh.join(
+            sh_df.filter(F.col("_df") <= max_shingle_df).drop("_df"), "shingle"
+        )
+    a, b = join_sh.alias("a"), join_sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -148,41 +189,142 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(tokens="toks", n_bits: int = 16):
-    """n-bit simhash: bit_b = sign of sum over token occurrences of +-1, where
-    the +-1 projection for (token, b) is the top bit of md5(token || ':' || b).
-    Engine-agnostic: md5 + substring only. Takes a materialized token column.
-    """
-    toks = F.col(tokens) if isinstance(tokens, str) else tokens
+def _token_sign_vector(token: str) -> np.ndarray:
+    """64-element ±1 vector for one token: bit b = bit (b%4) of hex digit
+    (b//4) of md5(token) — ONE md5 per distinct token (the round-1 Catalyst
+    version spent 16 md5 calls per token per document), and a formulation
+    DuckDB can replay exactly (md5 + substr + strpos arithmetic)."""
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    digits = np.frombuffer(bytes.fromhex(h[:16]), dtype=np.uint8)
+    # frombuffer gives byte pairs; re-derive the 16 hex-digit values in string order
+    digits = np.stack([(digits >> 4) & 0xF, digits & 0xF], axis=1).reshape(-1)
+    b = np.arange(SIMHASH_BITS)
+    bits = (digits[b // 4].astype(np.int64) >> (b % 4)) & 1
+    return (2 * bits - 1).astype(np.int64)
 
-    def _step(bpos: int):
-        # +1 when first hex nibble of md5(tok:b) is 0-7 (MSB clear), else -1
-        def step(acc, t):
-            return acc + F.when(
-                F.substring(F.md5(F.concat(t, F.lit(f":{bpos}"))), 1, 1).isin(
-                    "0", "1", "2", "3", "4", "5", "6", "7"
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
 
-        return step
+_POW2 = (1 << np.arange(SIMHASH_BITS, dtype=np.uint64))
 
-    bits = []
-    for bpos in range(n_bits):
-        contrib = F.aggregate(toks, F.lit(0), _step(bpos))
-        bits.append(F.when(contrib > 0, F.lit(1 << bpos)).otherwise(F.lit(0)))
-    out = bits[0]
-    for c in bits[1:]:
-        out = out + c
-    return out
+
+def simhash64_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): 64-bit simhash — bit b set when the
+    occurrence-weighted ±1 sum over tokens is positive. One Arrow pass, one
+    md5 per distinct token per batch. ``simhash`` is the two's-complement
+    int64 of the 64-bit pattern."""
+    from rustserini_spark.analysis import simple_tokenize_text
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            memo: dict[str, np.ndarray] = {}
+            ids = pdf.iloc[:, 0].to_numpy()
+            out_fp = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf.iloc[:, 1]):
+                acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                for t, n in Counter(simple_tokenize_text(text)).items():
+                    v = memo.get(t)
+                    if v is None:
+                        v = _token_sign_vector(t)
+                        memo[t] = v
+                    acc += n * v
+                bits = (acc > 0).astype(np.uint64)
+                out_fp[i] = (bits * _POW2).sum().astype(np.uint64).view(np.int64)
+            yield pd.DataFrame({"doc_id": ids.astype(np.int64), "simhash": out_fp})
+
+    pairs = docs.select(F.col(id_col).cast("long"), F.col(text_col))
+    return pairs.mapInPandas(gen, "doc_id long, simhash long")
 
 
 def simhash_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(simhash, n_docs, keeper): docs sharing an identical 16-bit simhash are
-    near-dup candidates (at scale: bucket by simhash, then exact-verify)."""
+    """(simhash, n_docs, keeper): docs sharing an identical 64-bit simhash are
+    near-dup candidates (for Hamming-tolerant matching use
+    simhash_neardup_pairs — banded, never all-pairs)."""
     return (
-        with_tokens(docs, text_col)
-        .select(F.col(id_col).alias("doc_id"), simhash_col("toks").alias("simhash"))
+        simhash64_signatures(docs, text_col, id_col)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def simhash_bands(simhash_col, n_bands: int) -> list:
+    """Disjoint bit-slice bands of the 64-bit fingerprint, as Catalyst
+    expressions (unsigned shifts — sign bit handled correctly)."""
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    return [
+        F.shiftrightunsigned(simhash_col, width * j).bitwiseAND(F.lit(mask)).alias(f"band{j}")
+        for j in range(n_bands)
+    ]
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within simhash Hamming distance
+    ``max_hamming``. Complete by pigeonhole when n_bands > max_hamming
+    (default n_bands = max_hamming + 1): the fingerprint splits into n_bands
+    disjoint bit slices, so a pair differing in <= max_hamming bits matches
+    exactly on >= 1 band. Short docs flip more bits per edit than long ones —
+    pick max_hamming (and thus band width) per corpus.
+
+    Plan shape at scale: one signature map pass -> n_bands band-bucket
+    self-joins (each a hash shuffle on a band value + band id) -> distinct
+    candidate pairs -> exact popcount verify. No all-pairs stage; quadratic
+    work is bounded per band bucket, optionally capped with ``max_bucket``
+    (drop buckets larger than the cap — a band value shared by millions of
+    docs is boilerplate, better handled by exact dedup upstream).
+    """
+    if n_bands is None:
+        # smallest divisor of 64 strictly above max_hamming (pigeonhole)
+        n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d > max_hamming)
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {SIMHASH_BITS}")
+    if n_bands <= max_hamming:
+        raise ValueError("need n_bands > max_hamming for pigeonhole completeness")
+    sig = simhash64_signatures(docs, text_col, id_col)
+    sig = sig.select("doc_id", "simhash", *simhash_bands(F.col("simhash"), n_bands)).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band_id"), F.col(f"band{j}").alias("band_val"))
+                for j in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    if max_bucket is not None:
+        counts = bands.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("_n"))
+        bands = bands.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_id", "band_val"]
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )

@@ -5,15 +5,27 @@ brute-force top-k (/root/reference/src/encode/vector_writer.rs:350,
 /root/reference/src/searcher/faiss/searcher.rs:81-118). Here:
 
 * ``cosine_topk`` / ``dot_topk`` — exact brute force, the FAISS-Flat
-  equivalent: broadcast the (small) query set, score every corpus vector with
-  a pure Catalyst fold (no Python), window top-k. Scales linearly with the
-  corpus and parallelizes perfectly (no shuffle until the tiny top-k merge).
-* ``cosine_neardup_pairs`` — embedding-cosine near-duplicate detection.
-* ``lsh_ann_topk`` — the scale path: random-hyperplane LSH signatures
-  (seeded, deterministic) bucket the corpus; candidates come from matching
-  buckets only; exact re-rank inside. Approximate by construction (recall<1),
-  so the driver records a rows-only check; pytest asserts recall against
-  brute force instead.
+  equivalent: the (small) query set rides in the task closure as one NumPy
+  matrix; every Arrow batch scores with ONE BLAS matmul (not per-element
+  Catalyst folds — measured 10-100x slower at dim 768) and emits only its
+  per-batch top-k per query, so the shuffle is O(batches·queries·k), not
+  O(corpus·queries). Scales linearly with the corpus, no shuffle until the
+  tiny top-k merge.
+* ``cosine_neardup_pairs`` — exact embedding-cosine near-duplicate pairs
+  (O(n^2) verify semantics, for oracles and within-bucket use).
+* ``lsh_neardup_pairs`` — the composed 100 TB near-dup path: random-hyperplane
+  LSH buckets -> within-bucket exact cosine verify (bounded bucket size),
+  never an all-pairs stage.
+* ``lsh_ann_topk`` — approximate NN with MULTI-PROBE: each query probes its
+  exact bucket plus all Hamming-distance-1 buckets, recovering the recall
+  that single-probe loses as n_planes grows. Approximate by construction
+  (recall<1), so the driver records a rows-only check; pytest asserts recall
+  against brute force.
+
+Float results crossing the DuckDB comparison boundary use the shared
+floor-based r4 (functions/parity.py) — `_r4_np` is its NumPy twin; rankings
+order by the rounded score so last-ulp summation differences (BLAS vs SQL
+fold order) can never flip a rank.
 """
 
 from __future__ import annotations
@@ -22,9 +34,17 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from rustserini_spark.functions.parity import r4
+
+
+def _r4_np(x: np.ndarray) -> np.ndarray:
+    """NumPy twin of parity.r4 / sql_r4: floor(x*10000 + 0.5) / 10000."""
+    return np.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
 
 
 def _dot(a, b):
@@ -35,12 +55,86 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side query matrix (the query set is small by contract — it is
+    broadcast either way; FAISS holds it in RAM too)."""
+    rows = queries.select(id_col, vec_col).collect()
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    qids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return qids, qmat
+
+
+def _stack(series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _matmul_topk_factory(qids: np.ndarray, qmat: np.ndarray, metric: str, k: int, id_col: str, vec_col: str, out: str):
+    """mapInPandas generator: one BLAS matmul per Arrow batch, emit only the
+    per-batch top-k per query (global top-k ⊆ union of batch top-ks)."""
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            m = _stack(pdf[vec_col])
+            s = m @ qmat.T  # (n_batch, n_queries)
+            if metric == "cos":
+                cn = np.sqrt((m * m).sum(axis=1))
+                s = s / (cn[:, None] * qn[None, :])
+            s = _r4_np(s)
+            take = min(k, ids.size)
+            out_q, out_id, out_s = [], [], []
+            for j in range(qids.size):
+                top = np.lexsort((ids, -s[:, j]))[:take]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_id.append(ids[top])
+                out_s.append(s[top, j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    out: np.concatenate(out_s),
+                }
+            )
+
+    return gen
+
+
+def _brute_topk(
+    corpus: DataFrame, queries: DataFrame, k: int, metric: str, out: str, id_col: str, vec_col: str
+) -> DataFrame:
+    spark = corpus.sparkSession
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    schema = f"qid long, vec_id long, {out} double"
+    if qids.size == 0:
+        return spark.createDataFrame([], schema)
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        _matmul_topk_factory(qids, qmat, metric, k, id_col, vec_col, out), schema
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(out), F.asc("vec_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    return _brute_topk(corpus, queries, k, "cos", "cos", id_col, vec_col)
+
+
+def dot_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """FAISS Flat/InnerProduct parity: exact max-inner-product top-k."""
+    return _brute_topk(corpus, queries, k, "dot", "dot", id_col, vec_col)
 
 
 def cosine_scores(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(qid, vec_id, cos) for every (query, corpus) pair; queries broadcast."""
+    """(qid, vec_id, cos) for every (query, corpus) pair — full score matrix
+    (Catalyst fold; kept for exhaustive/debug use, top-k paths use the matmul)."""
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
     )
@@ -50,32 +144,13 @@ def cosine_scores(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
     return joined.select("qid", "vec_id", r4(cos).alias("cos"))
 
 
-def cosine_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    scored = cosine_scores(corpus, queries, id_col, vec_col)
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-
-
-def dot_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """FAISS Flat/InnerProduct parity: exact max-inner-product top-k."""
-    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cvec"))
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "vec_id", r4(_dot(F.col("qvec"), F.col("cvec"))).alias("dot")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-
-
 def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(vec_a, vec_b, cos) for pairs with cosine >= threshold, vec_a < vec_b.
 
-    Exact O(n^2) — correct at test scale; the 100 TB path is lsh_ann buckets
-    followed by this as the within-bucket verify.
+    Exact O(n^2) VERIFY semantics — the oracle definition, and the
+    within-bucket stage of the composed path. Never call this on a full
+    web-scale corpus: use lsh_neardup_pairs, which applies exactly this
+    predicate inside bounded LSH buckets.
     """
     a = corpus.select(F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("va"))
     b = corpus.select(F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("vb"))
@@ -99,13 +174,6 @@ def dot_topk_prf(
 
 # ---------------------------------------------------------------- LSH ANN ---
 
-_SIG_SCHEMA = T.StructType(
-    [
-        T.StructField("vec_id", T.LongType(), False),
-        T.StructField("bucket", T.LongType(), False),
-    ]
-)
-
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
@@ -120,12 +188,14 @@ def lsh_signatures(
 
     def sig(batches):
         for pdf in batches:
-            m = np.stack(pdf[vec_col].to_numpy())
+            if pdf.empty:
+                continue
+            m = _stack(pdf[vec_col])
             bits = (m @ planes.T) > 0
             bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"), "bucket": bucket})
 
-    return vecs.select(id_col, vec_col).mapInPandas(sig, _SIG_SCHEMA)
+    return vecs.select(id_col, vec_col).mapInPandas(sig, "vec_id long, bucket long")
 
 
 def lsh_ann_topk(
@@ -135,21 +205,122 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: match query buckets to corpus buckets, exact cosine
-    re-rank within. One shuffle on bucket; candidate count ~ n/2^planes per
-    query bucket, independent of total corpus size given uniform buckets."""
+    """Approximate NN with multi-probe: each query probes its exact bucket
+    plus every Hamming-distance-1 bucket (n_planes+1 probes — near-boundary
+    hyperplane flips are the dominant miss mode of single-probe LSH, so recall
+    recovers without lowering n_planes). One bucket-join shuffle; candidate
+    count ~ (n_planes+1)·n/2^planes per query, independent of corpus size.
+    Exact cosine re-rank (BLAS matmul) inside the candidate set."""
+    spark = corpus.sparkSession
+    planes = _hyperplanes(dim, n_planes, seed)
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if qids.size == 0:
+        return spark.createDataFrame([], "qid long, vec_id long, cos double, rank int")
+    if n_probe_bits is None:
+        n_probe_bits = n_planes  # probe all Hamming-1 neighbors by default
+
+    bits = (qmat @ planes.T) > 0
+    base = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+    probe_rows = [(int(q), int(b)) for q, b in zip(qids, base)]
+    for flip in range(n_probe_bits):
+        for q, b in zip(qids, base):
+            probe_rows.append((int(q), int(b ^ (1 << flip))))
+    probes = spark.createDataFrame(probe_rows, "qid long, bucket long")
+
     csig = lsh_signatures(corpus, dim, n_planes, seed, id_col, vec_col)
-    qsig = lsh_signatures(queries, dim, n_planes, seed, id_col, vec_col).withColumnRenamed(
-        "vec_id", "qid"
-    )
-    cand = csig.join(F.broadcast(qsig), "bucket").select("qid", "vec_id")
-    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec"))
-    joined = cand.join(c, "vec_id").join(F.broadcast(q), "qid")
-    cos = _dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
-    scored = joined.select("qid", "vec_id", r4(cos).alias("cos"))
+    cand = csig.join(F.broadcast(probes), "bucket").select("qid", "vec_id").distinct()
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+    joined = cand.join(c, "vec_id")
+
+    qidx = {int(q): i for i, q in enumerate(qids)}
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _stack(pdf["_vec"])
+            qi = np.array([qidx[int(q)] for q in pdf["qid"]], dtype=np.int64)
+            s = (m * qmat[qi]).sum(axis=1)
+            cn = np.sqrt((m * m).sum(axis=1))
+            cos = _r4_np(s / (cn * qn[qi]))
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy().astype(np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
+                    "cos": cos,
+                }
+            )
+
+    scored = joined.mapInPandas(score, "qid long, vec_id long, cos double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed embedding near-dup for web scale: LSH buckets -> within-bucket
+    exact cosine verify (one pairwise matmul per bucket). The quadratic work is
+    bounded by the LARGEST BUCKET, never the corpus: buckets above
+    ``max_bucket`` are truncated to their lowest-id members (a bucket that
+    large is a degenerate boilerplate cluster — its members are already
+    near-dups of the kept prefix; exact-dedup upstream is the right tool).
+    Approximate by construction (a pair split across buckets is missed — the
+    standard LSH recall trade; raise recall by lowering n_planes or running
+    multiple seeds and unioning)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sig_with_vec(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _stack(pdf[vec_col])
+            bits = (m @ planes.T) > 0
+            bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "bucket": bucket,
+                    "vec_id": pdf[id_col].to_numpy().astype(np.int64),
+                    "_vec": pdf[vec_col],
+                }
+            )
+
+    tagged = corpus.select(id_col, vec_col).mapInPandas(
+        sig_with_vec, f"bucket long, vec_id long, _vec {corpus.schema[vec_col].dataType.simpleString()}"
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cos": np.float64}
+            )
+        pdf = pdf.sort_values("vec_id")
+        if len(pdf) > max_bucket:
+            pdf = pdf.iloc[:max_bucket]
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        m = _stack(pdf["_vec"])
+        n = np.sqrt((m * m).sum(axis=1))
+        cos = _r4_np((m @ m.T) / (n[:, None] * n[None, :]))
+        ai, bi = np.triu_indices(ids.size, k=1)
+        keep = cos[ai, bi] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]], "cos": cos[ai[keep], bi[keep]]}
+        )
+
+    pairs = tagged.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cos double"
+    )
+    # a pair sharing several buckets (multiple seeds / unioned runs) dedups here
+    return pairs.groupBy("vec_a", "vec_b").agg(F.first("cos").alias("cos"))

