@@ -424,6 +424,38 @@ SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def q_bm25_topk_topics(spark, sf_dir):
+    """Same engine as bm25_topk_simple but the query set arrives through the
+    topics loader (reference query-ingestion surface,
+    /root/reference/src/query_iterator.rs:1-13): TSV topics -> (qid, query)."""
+    import tempfile
+
+    from rustserini_spark.sources.topics import queries_from_topics, read_topics_tsv
+
+    d = tempfile.mkdtemp(prefix="topics_")
+    with open(f"{d}/topics.tsv", "w") as f:
+        for qid, q in BM25_QUERIES:
+            f.write(f"{qid}\t{q}\n")
+    qdf = queries_from_topics(read_topics_tsv(spark, f"{d}/topics.tsv"))
+    index = build_index(spark, _docs(spark, sf_dir), analyzer="simple")
+    return _rerank_rounded(bm25_search_pruned(index, qdf, k=max(50, BM25_K * 5)), BM25_K)
+
+
+def q_encode_knn(spark, sf_dir):
+    """A3/A4 plumbing: deterministic stand-in encoder over the documents
+    table -> exact cosine top-k over the encoded vectors (engine-specific
+    embedding -> rows-only driver check; semantics tested in pytest)."""
+    from rustserini_spark.operators.encode import HashingEncoder, encode_documents
+
+    docs = _docs(spark, sf_dir)
+    enc = HashingEncoder(dim=32)
+    emb = encode_documents(docs, enc, id_col="doc_id").withColumn(
+        "vec_id", F.col("vec_id").cast("long")
+    ).persist()
+    res = cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
+    return res.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -530,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_simple": q_bm25_topk_simple,
         "bm25_topk_porter": q_bm25_topk_porter,
         "bm25_fields_topk_simple": q_bm25_fields_topk_simple,
+        "bm25_topk_topics": q_bm25_topk_topics,
+        "encode_knn": q_encode_knn,
         "exact_dedup": q_exact_dedup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -560,6 +594,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_simple": _bm25_sql(),
         # bm25_topk_porter: intentionally no SQL oracle (Porter stemming),
         "bm25_fields_topk_simple": _bm25_fields_sql(),
+        "bm25_topk_topics": _bm25_sql(),
+        # encode_knn: engine-specific stand-in embedding — rows-only check.
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper "
             "FROM documents GROUP BY md5(text)"

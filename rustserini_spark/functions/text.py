@@ -41,9 +41,16 @@ def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "toks") ->
 
 def sanitize_col(text: Column | str) -> Column:
     """Reference S5: strip double quotes and backslashes
-    (/root/reference/examples/faiss_embedding_writer.rs:80-82)."""
+    (/root/reference/examples/faiss_embedding_writer.rs:80-82). Byte-identity
+    with sanitize_str (and the reference's sanitize_string) is tested."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(c, '["\\\\]', "")
+
+
+def sanitize_str(s: str) -> str:
+    """Driver/Arrow-side twin of sanitize_col — the reference's exact
+    sanitize_string: s.replace('"', '').replace('\\\\', '')."""
+    return s.replace('"', "").replace("\\", "")
 
 
 def _as_col(tokens: Column | str) -> Column:

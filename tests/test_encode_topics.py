@@ -1,0 +1,130 @@
+"""Encoder plumbing (A3/A4 shape) + sanitize byte-identity (S5) + topics
+loaders — end-to-end shape mirroring /root/reference/tests/encoder_test.rs:
+encode a fixture corpus, write the embedding artifacts, search, check top-1.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rustserini_spark.functions.text import sanitize_col, sanitize_str
+from rustserini_spark.operators.encode import HashingEncoder, encode_documents
+from rustserini_spark.operators.similarity import cosine_topk
+from rustserini_spark.sources.readers import write_embeddings_jsonl
+from rustserini_spark.sources.topics import (
+    queries_from_topics,
+    read_topics_jsonl,
+    read_topics_tsv,
+)
+
+CORPUS = [
+    ("d0", "the manhattan project atomic research history", "Manhattan"),
+    ("d1", "coral reef biology and oceanography studies", "Oceans"),
+    ("d2", "distributed query engines shuffle and partition data", "Engines"),
+    ("d3", "", None),  # empty text, no title
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(CORPUS, columns=["docid", "text", "title"])
+    )
+
+
+def test_sanitize_byte_identity(spark):
+    """sanitize_col (Catalyst) == sanitize_str (Python) == the reference's
+    sanitize_string, byte for byte, on adversarial inputs."""
+    cases = ['a"b\\c', '""', "\\\\", 'no-op', 'quote " and \\ slash', "emoji✨\"x"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.out for r in df.select(sanitize_col("s").alias("out")).collect()]
+    expected = [c.replace('"', "").replace("\\", "") for c in cases]
+    assert got == expected
+    assert [sanitize_str(c) for c in cases] == expected
+
+
+def test_encoder_deterministic_and_normalized(corpus_df):
+    enc = HashingEncoder(dim=32)
+    out = encode_documents(corpus_df, enc, title_col="title").collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in out}
+    assert set(vecs) == {"d0", "d1", "d2", "d3"}
+    for vid, v in vecs.items():
+        assert v.shape == (32,)
+        if vid != "d3":
+            assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+    assert np.allclose(vecs["d3"], 0.0)  # empty doc -> zero vector
+    # determinism across a second run at different partitioning
+    out2 = encode_documents(corpus_df.repartition(4), enc, title_col="title").collect()
+    for r in out2:
+        assert np.allclose(np.array(r.embedding), vecs[r.vec_id])
+
+
+def test_encoder_pooling_modes_differ(corpus_df):
+    enc = HashingEncoder(dim=32)
+    mean = {r.vec_id: np.array(r.embedding) for r in encode_documents(corpus_df, enc).collect()}
+    cls = {r.vec_id: np.array(r.embedding) for r in
+           encode_documents(corpus_df, enc, pooler_type="cls").collect()}
+    assert not np.allclose(mean["d0"], cls["d0"])  # multi-token doc: pooling matters
+
+
+def test_encoder_applies_sanitize_and_title_concat(spark):
+    enc = HashingEncoder(dim=32)
+    pair = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 'manhattan "project"', "T"), ("b", "manhattan project", "T")],
+            columns=["docid", "text", "title"],
+        )
+    )
+    vecs = {r.vec_id: np.array(r.embedding) for r in
+            encode_documents(pair, enc, title_col="title").collect()}
+    assert np.allclose(vecs["a"], vecs["b"])  # sanitize strips the quotes
+    no_title = {r.vec_id: np.array(r.embedding) for r in encode_documents(pair, enc).collect()}
+    assert not np.allclose(vecs["a"], no_title["a"])  # title concat changes input
+
+
+def test_encode_write_search_end_to_end(spark, corpus_df, tmp_path):
+    """The encoder_test.rs shape: encode corpus -> write embedding artifact ->
+    encode queries with the SAME encoder -> top-1 is the matching doc."""
+    enc = HashingEncoder(dim=64)
+    emb = encode_documents(corpus_df, enc, title_col="title")
+    # reference S6 sink roundtrip
+    write_embeddings_jsonl(emb.withColumnRenamed("vec_id", "id"), str(tmp_path / "emb"))
+    back = spark.read.json(str(tmp_path / "emb"))
+    assert back.count() == 4 and set(back.columns) >= {"id", "vector"}
+
+    # integer ids for the search path (O17-style resolve is tested elsewhere)
+    with_ord = emb.withColumn("vec_id", F.expr("cast(substring(vec_id, 2) as long)"))
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            [("0", "manhattan atomic history"), ("2", "query engines partition")],
+            columns=["docid", "text"],
+        )
+    )
+    qemb = encode_documents(queries, enc).withColumn(
+        "vec_id", F.expr("cast(vec_id as long)")
+    )
+    res = cosine_topk(with_ord, qemb, k=1).collect()
+    top1 = {r.qid: r.vec_id for r in res}
+    assert top1 == {0: 0, 2: 2}
+
+
+def test_topics_tsv_and_jsonl(spark, tmp_path):
+    tsv = tmp_path / "topics.tsv"
+    tsv.write_text("q1\twhat is the manhattan project\nq2\tcoral reefs\n")
+    t = read_topics_tsv(spark, str(tsv))
+    q = {r.qid: r.query for r in queries_from_topics(t).collect()}
+    assert q == {"q1": "what is the manhattan project", "q2": "coral reefs"}
+
+    jl = tmp_path / "topics.jsonl"
+    jl.write_text(
+        '{"qid": "q1", "title": "manhattan project", "description": "longer narrative"}\n'
+        '{"qid": "q2", "title": "coral reefs", "description": "reef bio"}\n'
+    )
+    tj = read_topics_jsonl(spark, str(jl))
+    assert {r.qid: r.query for r in queries_from_topics(tj, "title").collect()} == {
+        "q1": "manhattan project", "q2": "coral reefs",
+    }
+    assert {r.qid: r.query for r in queries_from_topics(tj, "description").collect()}[
+        "q1"
+    ] == "longer narrative"
