@@ -128,8 +128,11 @@ class BM25Index:
     meta: dict = field(default_factory=dict)
 
     def materialize(self) -> "BM25Index":
-        """Persist + force the query-time tables (postings, dictionary) so
-        searches hit cached blocks instead of re-running the build DAG."""
+        """Persist + force the query-time tables so searches hit cached blocks
+        instead of re-running the build DAG. build_index caches postings
+        hash-partitioned by shard, so after this the pruned search's
+        groupBy(shard) reuses the cached partitioning — query batches run with
+        zero shuffle."""
         self.postings = self.postings.persist()
         self.postings.count()
         self.dictionary = self.dictionary.persist()
@@ -200,6 +203,59 @@ def expected_idf(df: int, n_docs: int) -> float:
 # ------------------------------------------------------------ one-pass encode --
 
 
+def _encode_segment_pdf(
+    analyze_fn, doc_ids, texts, seg: int, block_size: int, n_shards: int
+) -> pd.DataFrame | None:
+    """Analyze + count + block-encode ONE segment's documents -> postings rows."""
+    terms_l: list = []
+    tfs_l: list = []
+    docs_np: list = []
+    dls_np: list = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks = analyze_fn(text)
+        if not toks:
+            continue
+        c = Counter(toks)
+        terms_l.extend(c.keys())
+        tfs_l.extend(c.values())
+        docs_np.append(np.full(len(c), doc_id, dtype=np.int64))
+        dls_np.append(np.full(len(c), len(toks), dtype=np.int64))
+    if not terms_l:
+        return None
+    terms = np.asarray(terms_l, dtype=object)
+    order = np.argsort(terms, kind="stable")
+    terms_s = terms[order]
+    new_run = np.empty(terms_s.size, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = terms_s[1:] != terms_s[:-1]
+    run_id = np.cumsum(new_run) - 1
+    cols = encode_runs_blocks(
+        run_id,
+        np.concatenate(docs_np)[order],
+        np.asarray(tfs_l, dtype=np.int64)[order],
+        np.concatenate(dls_np)[order],
+        block_size,
+    )
+    run_terms = terms_s[new_run]
+    shard = shard_of_segment(seg, n_shards)
+    nb = len(cols["postings_bin"])
+    return pd.DataFrame(
+        {
+            "term": run_terms[cols["run_idx"]],
+            "shard": np.full(nb, shard, dtype=np.int32),
+            "salt": np.full(nb, seg, dtype=np.int64),
+            "block_seq": cols["block_seq"].astype(np.int32),
+            "first_doc": cols["first_doc"],
+            "last_doc": cols["last_doc"],
+            "n_docs": cols["n_docs"].astype(np.int32),
+            "max_tf": cols["max_tf"],
+            "min_dl": cols["min_dl"],
+            "block_cf": cols["block_cf"],
+            "postings_bin": np.asarray(cols["postings_bin"], dtype=object),
+        }
+    )
+
+
 def encode_docs_factory(
     analyze_fn,
     block_size: int = BLOCK_SIZE_DEFAULT,
@@ -232,53 +288,11 @@ def encode_docs_factory(
                 hi = min(lo + seg_docs, len(pdf))
                 seg = (pid << 32) | seg_counter
                 seg_counter += 1
-                terms_l: list = []
-                tfs_l: list = []
-                docs_np: list = []
-                dls_np: list = []
-                for doc_id, text in zip(doc_ids[lo:hi], texts.iloc[lo:hi]):
-                    toks = analyze_fn(text)
-                    if not toks:
-                        continue
-                    c = Counter(toks)
-                    terms_l.extend(c.keys())
-                    tfs_l.extend(c.values())
-                    docs_np.append(np.full(len(c), doc_id, dtype=np.int64))
-                    dls_np.append(np.full(len(c), len(toks), dtype=np.int64))
-                if not terms_l:
-                    continue
-                terms = np.asarray(terms_l, dtype=object)
-                order = np.argsort(terms, kind="stable")
-                terms_s = terms[order]
-                new_run = np.empty(terms_s.size, dtype=bool)
-                new_run[0] = True
-                new_run[1:] = terms_s[1:] != terms_s[:-1]
-                run_id = np.cumsum(new_run) - 1
-                cols = encode_runs_blocks(
-                    run_id,
-                    np.concatenate(docs_np)[order],
-                    np.asarray(tfs_l, dtype=np.int64)[order],
-                    np.concatenate(dls_np)[order],
-                    block_size,
+                out = _encode_segment_pdf(
+                    analyze_fn, doc_ids[lo:hi], texts.iloc[lo:hi], seg, block_size, n_shards
                 )
-                run_terms = terms_s[new_run]
-                shard = shard_of_segment(seg, n_shards)
-                nb = len(cols["postings_bin"])
-                yield pd.DataFrame(
-                    {
-                        "term": run_terms[cols["run_idx"]],
-                        "shard": np.full(nb, shard, dtype=np.int32),
-                        "salt": np.full(nb, seg, dtype=np.int64),
-                        "block_seq": cols["block_seq"].astype(np.int32),
-                        "first_doc": cols["first_doc"],
-                        "last_doc": cols["last_doc"],
-                        "n_docs": cols["n_docs"].astype(np.int32),
-                        "max_tf": cols["max_tf"],
-                        "min_dl": cols["min_dl"],
-                        "block_cf": cols["block_cf"],
-                        "postings_bin": np.asarray(cols["postings_bin"], dtype=object),
-                    }
-                )
+                if out is not None:
+                    yield out
 
     return gen
 
@@ -350,9 +364,16 @@ def build_index(
     if docs._jdf.rdd().getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
 
-    postings = encode_postings(
-        docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
-    ).persist()
+    # Postings cached HASH-PARTITIONED BY SHARD (one partition per doc shard —
+    # the real-cluster layout where each executor owns its shards' index): the
+    # one exchange here moves only the COMPRESSED blocks (a small fraction of
+    # corpus bytes), and in return the pruned search's groupBy(shard) reuses
+    # the cached partitioning — every query batch runs with ZERO shuffle.
+    postings = (
+        encode_postings(docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs)
+        .repartition(n_shards, "shard")
+        .persist()
+    )
 
     # Collection stats from block metadata: Σ block_cf == Σ dl exactly; N
     # counts every doc (zero-token docs included, matching Lucene's maxDoc).

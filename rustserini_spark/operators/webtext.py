@@ -54,22 +54,28 @@ def index_webtext(
     input_id: str | None = None,
     **build_kwargs,
 ) -> WebtextIndex:
-    if verify_extraction:
-        n_bad = extraction_mismatches(webtext).limit(1).count()
-        if n_bad:
-            raise ValueError(
-                "extraction parity violation: extract(html) != text for some urls"
-            )
     corpus = webtext
     if lang is not None:
         # on a lang-partitioned Iceberg table this filter is partition pruning,
         # not a scan
         corpus = corpus.filter(F.col("lang") == lang)
 
+    # Extraction byte-parity enforced INLINE in the build scan (north-rule
+    # invariant: extract(html) byte-identical to the text column per url).
+    # A Catalyst CASE with raise_error checks every row for free inside the
+    # encode pass — no separate verification pass over the corpus.
+    extracted = extract_text_col("html")
+    if verify_extraction:
+        text_expr = F.when(extracted == F.col("text"), extracted).otherwise(
+            F.raise_error(
+                F.concat(F.lit("extraction parity violation: extract(html) != text at url="), F.col("url"))
+            )
+        )
+    else:
+        text_expr = extracted
+
     docmap = docmap_from_urls(corpus)
-    docs = corpus.select("url", extract_text_col("html").alias("text")).join(
-        docmap, "url"
-    )
+    docs = corpus.select("url", text_expr.alias("text")).join(docmap, "url")
     # corpus size from the (persisted) docmap — skips re-running the
     # corpus⋈docmap join that docs.count() would trigger inside build_index
     n_docs = docmap.count()

@@ -73,21 +73,45 @@ def test_build_postings_has_zero_corpus_shuffles(spark, documents):
 
 
 def test_build_dictionary_aggregates_block_metadata_only(spark, documents):
-    """The dictionary agg's input is block METADATA (no corpus-scale relation
-    and no join): exactly one shuffle exchange pair in the whole build DAG."""
+    """The whole build DAG shuffles exactly twice, neither corpus-scale: the
+    one-time shard layout exchange of the COMPRESSED blocks (which buys
+    zero-shuffle query batches) and the dictionary agg over block METADATA.
+    No join anywhere."""
     from rustserini_spark.operators.index_build import build_index
 
     index = build_index(spark, documents.select("doc_id", "text"))
     plan = _plan(index.dictionary)
-    # count hash/range exchanges only: the round-robin re-split of the tiny
-    # test input (a no-op on a real partitioned table) is not a plan shuffle,
-    # and AQE renders it twice (initial + final plan)
+    # hash/range exchanges only: the round-robin re-split of the tiny test
+    # input (a no-op on a real partitioned table) is not a plan shuffle, and
+    # AQE renders exchanges twice (initial + final plan)
     shuffles = {
-        m.group(1)
-        for m in re.finditer(r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: (?:hash|range)partitioning", plan)
+        m.group(1): m.group(2)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: ((?:hash|range)partitioning\([^,]*)", plan
+        )
     }
-    assert len(shuffles) <= 1, f"{sorted(shuffles)} exchanges:\n{plan[:2000]}"
+    kinds = sorted(set(shuffles.values()))
+    assert len(kinds) <= 2, f"{shuffles} exchanges:\n{plan[:2000]}"
+    assert any("shard" in k for k in kinds) and any("term" in k for k in kinds), kinds
     assert "Join" not in plan, plan[:1200]
+
+
+def test_pruned_search_has_zero_block_shuffle_on_materialized_index(spark, documents):
+    """On a materialized (shard-partitioned-cache) index, a query batch's plan
+    must reuse the cached partitioning: the ONLY exchange is the tiny final
+    top-k window on qid — posting blocks never move."""
+    from rustserini_spark.operators.index_build import build_index
+    from rustserini_spark.operators.search import bm25_search_pruned
+
+    index = build_index(spark, documents.select("doc_id", "text")).materialize()
+    qdf = spark.createDataFrame([("p", "spark query window")], "qid string, query string")
+    res = bm25_search_pruned(index, qdf, k=10)
+    plan = _plan(res)
+    lines = plan.splitlines()
+    grp = next(i for i, l in enumerate(lines) if "FlatMapGroupsInPandas" in l)
+    scan = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l and i > grp)
+    between = [l for l in lines[grp + 1 : scan] if "Exchange" in l]
+    assert not between, (between, "\n".join(lines[grp:scan + 1]))
 
 
 def test_scan_prunes_columns(spark, sf_dir):
