@@ -53,18 +53,22 @@ def main() -> None:
     timed("bm25_pruned_topk", lambda: bm25_search_pruned(index, queries_df, k=10).count())
     timed("bm25_exhaustive_topk", lambda: bm25_search(index, queries_df, k=10).count())
 
-    # 3. curation / dedup / similarity operators from the entry contract
+    # 3. curation / dedup / similarity / encode operators from the entry contract
     q = entry_mod.queries()
     for name in (
         "exact_dedup",
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
+        "ngram_jaccard_capped",
         "simhash_groups",
+        "simhash_neardup_pairs",
+        "lsh_neardup",
         "text_quality",
         "lang_id",
         "fingerprint",
         "embedding_cosine_topk",
         "ann_lsh_topk",
+        "encode_knn",
     ):
         timed(name, lambda name=name: q[name](spark, SF_DIR).count())
 
