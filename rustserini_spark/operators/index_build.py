@@ -340,6 +340,49 @@ def dictionary_from_postings(
     )
 
 
+def assemble_index(
+    postings_raw: DataFrame,
+    n_docs: int,
+    all_ids: DataFrame,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    analyzer: str = "porter",
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    n_shards: int = N_SHARDS_DEFAULT,
+) -> BM25Index:
+    """Raw encoded postings -> queryable BM25Index: shard-partitioned cache,
+    stats + dictionary from block metadata. ``all_ids`` is a (doc_id) relation
+    covering every doc (zero-token docs included) for the lazy doclen artifact.
+
+    Postings are cached HASH-PARTITIONED BY SHARD (one partition per doc shard
+    — the real-cluster layout where each executor owns its shards' index): the
+    one exchange here moves only the COMPRESSED blocks (a small fraction of
+    corpus bytes), and in return the pruned search's groupBy(shard) reuses the
+    cached partitioning — every query batch runs with ZERO shuffle."""
+    postings = postings_raw.repartition(n_shards, "shard").persist()
+
+    # Collection stats from block metadata: Σ block_cf == Σ dl exactly; N
+    # counts every doc (zero-token docs included, matching Lucene's maxDoc).
+    total_tokens = postings.agg(F.sum("block_cf")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    dictionary = dictionary_from_postings(postings, n_docs, avgdl, k1, b)
+    doclen = doclen_from_postings(all_ids, postings, "doc_id")
+
+    return BM25Index(
+        postings=postings,
+        dictionary=dictionary,
+        doclen=doclen,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=k1,
+        b=b,
+        analyzer=analyzer,
+        block_size=block_size,
+        n_shards=n_shards,
+    )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -364,38 +407,14 @@ def build_index(
     if docs._jdf.rdd().getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
 
-    # Postings cached HASH-PARTITIONED BY SHARD (one partition per doc shard —
-    # the real-cluster layout where each executor owns its shards' index): the
-    # one exchange here moves only the COMPRESSED blocks (a small fraction of
-    # corpus bytes), and in return the pruned search's groupBy(shard) reuses
-    # the cached partitioning — every query batch runs with ZERO shuffle.
-    postings = (
-        encode_postings(docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs)
-        .repartition(n_shards, "shard")
-        .persist()
-    )
-
-    # Collection stats from block metadata: Σ block_cf == Σ dl exactly; N
-    # counts every doc (zero-token docs included, matching Lucene's maxDoc).
     if n_docs is None:
         n_docs = docs.count()
-    total_tokens = postings.agg(F.sum("block_cf")).collect()[0][0] or 0
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
-
-    dictionary = dictionary_from_postings(postings, n_docs, avgdl, k1, b)
-    doclen = doclen_from_postings(docs, postings, id_col)
-
-    return BM25Index(
-        postings=postings,
-        dictionary=dictionary,
-        doclen=doclen,
-        n_docs=n_docs,
-        avgdl=avgdl,
-        k1=k1,
-        b=b,
-        analyzer=analyzer,
-        block_size=block_size,
-        n_shards=n_shards,
+    postings_raw = encode_postings(
+        docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
+    )
+    all_ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return assemble_index(
+        postings_raw, n_docs, all_ids, k1, b, analyzer, block_size, n_shards
     )
 
 

@@ -4,33 +4,57 @@ This is the engine's primary ingestion path per BASELINE.json input_hint: an
 Iceberg/parquet table ``(url, warc_ts, html, text, lang)`` of Common-Crawl-style
 pages. Steps:
 
-  1. extract text from html (Arrow/Catalyst, no per-row Python) and enforce the
-     north-rule invariant: extracted text byte-identical to the ``text`` column
-     per url (the reference consumes pre-extracted text verbatim —
-     /root/reference/src/encode/vector_writer.rs:96-158 — so extraction must be
-     the identity on ``text``);
+  1. extract text from html (Catalyst, no per-row Python) with the north-rule
+     invariant — extracted text byte-identical to the ``text`` column per url
+     (the reference consumes pre-extracted text verbatim,
+     /root/reference/src/encode/vector_writer.rs:96-158) — enforced INLINE in
+     the build scan via a CASE + raise_error on every row (no separate
+     verification pass over the corpus);
   2. language filter (partition-prunable on a lang-partitioned table);
-  3. docid assignment (url -> dense long ordinal, docmap table);
-  4. salted, block-compressed index build (in-memory or checkpointed/resumable).
+  3. docid assignment (url -> dense long ordinal) FUSED into the encode pass:
+     doc_id = bucket_offset[pmod(xxhash64(url), p)] + rank-of-url-within-bucket.
+     A pure function of the url set and the bucket count p — deterministic at
+     ANY parallelism and any file layout (the property the two-cluster-size
+     rank-parity check needs) — computed with ONE lean corpus exchange
+     (hash on the bucket id + a per-partition sort) instead of the
+     SortMergeJoin corpus⋈docmap plan, which shuffled AND sorted the corpus
+     twice and was the round-2 build's last non-scaling component;
+  4. one-pass fused analyze+encode (index_build.encode semantics) with
+     segment-local block compression, then shard-partitioned cache + block-
+     metadata dictionary (assemble_index).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rustserini_spark.operators.index_build import (
+    BLOCK_SIZE_DEFAULT,
+    B_DEFAULT,
     BM25Index,
-    build_index,
+    K1_DEFAULT,
+    N_SHARDS_DEFAULT,
+    POSTINGS_SCHEMA,
+    SEG_DOCS_DEFAULT,
+    _encode_segment_pdf,
+    analyze_fn_for,
+    assemble_index,
     build_index_checkpointed,
 )
 from rustserini_spark.sources.synth import docmap_from_urls, extract_text_col
 
+N_ID_BUCKETS_DEFAULT = 64  # docid hash buckets: a BUILD parameter (ids are a
+# pure function of the url set + this count), NOT a cluster-size parameter
+
 
 def extraction_mismatches(webtext: DataFrame) -> DataFrame:
-    """Rows where extract(html) != text byte-for-byte (must be empty)."""
+    """Rows where extract(html) != text byte-for-byte (must be empty) —
+    diagnostic view; the build itself enforces this inline on every row."""
     ext = webtext.withColumn("extracted", extract_text_col("html"))
     return ext.filter(
         (F.col("extracted") != F.col("text"))
@@ -45,6 +69,99 @@ class WebtextIndex:
     docmap: DataFrame  # (doc_id, url)
 
 
+def _bucket_col(p: int):
+    return F.pmod(F.xxhash64("url"), F.lit(p)).cast("int").alias("_pid")
+
+
+def _bucket_offsets(corpus: DataFrame, p: int) -> tuple[dict[int, int], int]:
+    """Per-bucket docid offsets + total count. One column-pruned scan with a
+    map-side partial agg — the shuffle payload is p rows per input partition."""
+    counts = {
+        r["_pid"]: r["n"]
+        for r in corpus.select(_bucket_col(p)).groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(p):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    return offsets, acc
+
+
+def _assign_ordinals(pids: np.ndarray, offsets: dict, counters: dict) -> np.ndarray:
+    """Dense doc ids for rows sorted by (_pid, url): offsets[pid] + running
+    rank within the bucket. ``counters`` carries ranks across Arrow batches of
+    one task (a bucket never spans tasks — hash partitioning on _pid)."""
+    ids = np.empty(pids.size, dtype=np.int64)
+    change = np.flatnonzero(pids[1:] != pids[:-1]) + 1
+    bounds = np.concatenate(([0], change, [pids.size]))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        pid = int(pids[s])
+        seen = counters.get(pid, 0)
+        ids[s:e] = offsets[pid] + seen + np.arange(e - s)
+        counters[pid] = seen + (e - s)
+    return ids
+
+
+def _bucketed_urls(corpus: DataFrame, p: int, *extra_cols) -> DataFrame:
+    return (
+        corpus.select("url", _bucket_col(p), *extra_cols)
+        .repartition(p, "_pid")
+        .sortWithinPartitions("_pid", "url")
+    )
+
+
+def hash_bucket_docmap(corpus: DataFrame, p: int, offsets: dict) -> DataFrame:
+    """(url, doc_id) under the fused-ordinal scheme — same pure function of
+    (url set, p) the encode pass applies, recomputed independently."""
+
+    def gen(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = _assign_ordinals(pdf["_pid"].to_numpy(), offsets, counters)
+            yield pd.DataFrame({"url": pdf["url"], "doc_id": ids})
+
+    return _bucketed_urls(corpus, p).mapInPandas(gen, "url string, doc_id long")
+
+
+def fused_ordinal_encode_factory(
+    offsets: dict,
+    analyze_fn,
+    block_size: int,
+    n_shards: int,
+    seg_docs: int,
+):
+    """mapInPandas generator over (url, _pid, text) rows sorted by (_pid, url):
+    assigns dense doc ids inline, then runs the one-pass segment encode —
+    docid assignment, analysis, tf counting and block compression in a single
+    Arrow pass over the corpus."""
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task_pid = ctx.partitionId() if ctx else 0
+        counters: dict[int, int] = {}
+        seg_counter = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids = _assign_ordinals(pdf["_pid"].to_numpy(), offsets, counters)
+            texts = pdf["text"]
+            for lo in range(0, len(pdf), seg_docs):
+                hi = min(lo + seg_docs, len(pdf))
+                seg = (task_pid << 32) | seg_counter
+                seg_counter += 1
+                out = _encode_segment_pdf(
+                    analyze_fn, doc_ids[lo:hi], texts.iloc[lo:hi], seg, block_size, n_shards
+                )
+                if out is not None:
+                    yield out
+
+    return gen
+
+
 def index_webtext(
     spark: SparkSession,
     webtext: DataFrame,
@@ -52,7 +169,13 @@ def index_webtext(
     verify_extraction: bool = True,
     checkpoint_dir: str | None = None,
     input_id: str | None = None,
-    **build_kwargs,
+    analyzer: str = "porter",
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    seg_docs: int = SEG_DOCS_DEFAULT,
+    n_shards: int = N_SHARDS_DEFAULT,
+    n_id_buckets: int = N_ID_BUCKETS_DEFAULT,
 ) -> WebtextIndex:
     corpus = webtext
     if lang is not None:
@@ -74,13 +197,10 @@ def index_webtext(
     else:
         text_expr = extracted
 
-    docmap = docmap_from_urls(corpus)
-    docs = corpus.select("url", text_expr.alias("text")).join(docmap, "url")
-    # corpus size from the (persisted) docmap — skips re-running the
-    # corpus⋈docmap join that docs.count() would trigger inside build_index
-    n_docs = docmap.count()
-
     if checkpoint_dir:
+        # resumable path: materialized docmap + per-stage Catalog checkpoints
+        docmap = docmap_from_urls(corpus)
+        docs = corpus.select("url", text_expr.alias("text")).join(docmap, "url")
         index, _stages = build_index_checkpointed(
             spark,
             docs,
@@ -88,12 +208,35 @@ def index_webtext(
             input_id=input_id or "webtext",
             text_col="text",
             id_col="doc_id",
-            **build_kwargs,
+            analyzer=analyzer,
+            k1=k1,
+            b=b,
+            block_size=block_size,
+            seg_docs=seg_docs,
+            n_shards=n_shards,
         )
-    else:
-        index = build_index(
-            spark, docs, text_col="text", id_col="doc_id", n_docs=n_docs, **build_kwargs
-        )
+        return WebtextIndex(index=index, docmap=docmap)
+
+    # fused path: docid assignment inside the encode pass (module docstring)
+    offsets, n_docs = _bucket_offsets(corpus, n_id_buckets)
+    src = _bucketed_urls(corpus, n_id_buckets, text_expr.alias("text"))
+    postings_raw = src.mapInPandas(
+        fused_ordinal_encode_factory(
+            offsets, analyze_fn_for(analyzer), block_size, n_shards, seg_docs
+        ),
+        POSTINGS_SCHEMA,
+    )
+    docmap = hash_bucket_docmap(corpus, n_id_buckets, offsets)
+    index = assemble_index(
+        postings_raw,
+        n_docs,
+        all_ids=docmap.select("doc_id"),
+        k1=k1,
+        b=b,
+        analyzer=analyzer,
+        block_size=block_size,
+        n_shards=n_shards,
+    )
     return WebtextIndex(index=index, docmap=docmap)
 
 
