@@ -350,16 +350,18 @@ def assemble_index(
     block_size: int = BLOCK_SIZE_DEFAULT,
     n_shards: int = N_SHARDS_DEFAULT,
 ) -> BM25Index:
-    """Raw encoded postings -> queryable BM25Index: shard-partitioned cache,
-    stats + dictionary from block metadata. ``all_ids`` is a (doc_id) relation
+    """Raw encoded postings -> queryable BM25Index: doc-aligned cache, stats +
+    dictionary from block metadata. ``all_ids`` is a (doc_id) relation
     covering every doc (zero-token docs included) for the lazy doclen artifact.
 
-    Postings are cached HASH-PARTITIONED BY SHARD (one partition per doc shard
-    — the real-cluster layout where each executor owns its shards' index): the
-    one exchange here moves only the COMPRESSED blocks (a small fraction of
-    corpus bytes), and in return the pruned search's groupBy(shard) reuses the
-    cached partitioning — every query batch runs with ZERO shuffle."""
-    postings = postings_raw.repartition(n_shards, "shard").persist()
+    The one-pass encoder's output is already DOC-ALIGNED: a document's
+    postings all live in the one segment its task encoded, so every cached
+    partition holds complete postings for a disjoint doc set. Exact local
+    top-k per partition is therefore valid as-is — the postings are persisted
+    WITHOUT any exchange, and the pruned search runs mapInPandas per cached
+    partition: zero shuffles at build beyond the encode input, zero shuffles
+    per query batch (meta["doc_aligned"] switches the search plan)."""
+    postings = postings_raw.persist()
 
     # Collection stats from block metadata: Σ block_cf == Σ dl exactly; N
     # counts every doc (zero-token docs included, matching Lucene's maxDoc).
@@ -380,6 +382,7 @@ def assemble_index(
         analyzer=analyzer,
         block_size=block_size,
         n_shards=n_shards,
+        meta={"doc_aligned": True},
     )
 
 

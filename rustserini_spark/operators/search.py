@@ -369,7 +369,21 @@ def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> Dat
         )
 
     blocks = index.postings.filter(F.col("term").isin(terms))
-    local = blocks.groupBy("shard").applyInPandas(
-        shard_search, "qid string, doc_id long, score double"
-    )
+    out_schema = "qid string, doc_id long, score double"
+    if index.meta.get("doc_aligned"):
+        # In-memory one-pass indexes are DOC-ALIGNED: every cached partition
+        # holds complete postings for a disjoint doc set (a doc's postings
+        # never leave the task that encoded them), so exact local top-k per
+        # PARTITION is valid with no grouping — zero shuffle for the blocks,
+        # at build time or per batch. The frame may span several shards;
+        # their union is still doc-disjoint, which is all _shard_topk needs.
+        def partition_search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pdfs = [p for p in batches if not p.empty]
+            if pdfs:
+                yield shard_search(pd.concat(pdfs, ignore_index=True))
+
+        local = blocks.mapInPandas(partition_search, out_schema)
+    else:
+        # disk/opened indexes: one shuffle of matched blocks to shard groups
+        local = blocks.groupBy("shard").applyInPandas(shard_search, out_schema)
     return _topk(local, k)

@@ -106,6 +106,7 @@ def run_once(workers: int, cores: int) -> dict:
 
     qdf = spark.createDataFrame(_queries(), "qid string, query string")
     builds, queries, n_results = [], [], None
+    results_hash = None
     for _ in range(REPS):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
@@ -116,6 +117,16 @@ def run_once(workers: int, cores: int) -> dict:
         t0 = time.perf_counter()
         n_results = bm25_search_pruned(wt.index, qdf, k=10).count()
         queries.append(time.perf_counter() - t0)
+
+    # rank-parity evidence across cluster sizes: hash the actual result set
+    # (untimed) — identical hashes at N and 4N mean identical rankings+scores
+    import hashlib
+
+    rows = sorted(
+        (r.qid, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_search_pruned(wt.index, qdf, k=10).collect()
+    )
+    results_hash = hashlib.md5(repr(rows).encode()).hexdigest()
 
     build_sec, query_sec = min(builds), min(queries)
     out = {
@@ -130,6 +141,7 @@ def run_once(workers: int, cores: int) -> dict:
         "query_sec_all": [round(q, 2) for q in queries],
         "queries_per_sec": round(N_QUERIES / query_sec, 1),
         "n_results": n_results,
+        "results_hash": results_hash,
     }
     spark.stop()
     return out
@@ -175,12 +187,15 @@ python workers, on a {os.cpu_count()}-core host, one cluster per level, sequenti
 page-cache warmed before every timed section, best of {REPS} reps.
 
 The measured job: synth webtext parquet ({N_DOCS} docs, seed 42, {lo['n_docs_indexed']} en)
--> inline extraction byte-parity check -> lang filter -> docmap (distributed
-dense rank) -> ONE-PASS fused analyze+encode (Porter pipeline, per-segment
-block compression, idf-free block-max metadata) -> shard-partitioned cache +
+-> lang filter -> inline extraction byte-parity check (raise_error per row,
+no extra pass) -> ONE-PASS fused docid-assign+analyze+encode (hash-bucket
+dense ordinals — deterministic at any cluster size; Porter pipeline,
+per-segment block compression, idf-free block-max metadata) ->
+shard-partitioned cache +
 dictionary agg; then a {N_QUERIES}-query block-max-pruned top-10 batch (zero-shuffle:
-blocks are pre-partitioned by doc shard). Results identical at both levels
-({lo['n_results']} rows, equal: {lo['n_results'] == hi['n_results']}) — rank parity holds at any parallelism.
+blocks are pre-partitioned by doc shard). Result sets identical at both
+levels ({lo['n_results']} rows; md5 over sorted (qid, rank, doc_id, score) equal:
+{lo['results_hash'] == hi['results_hash']}) — rank parity holds at any cluster size.
 
 | metric | {w0}x{c0} (N) | {w1}x{c1} (4N) | speedup | efficiency |
 |---|---|---|---|---|

@@ -73,10 +73,9 @@ def test_build_postings_has_zero_corpus_shuffles(spark, documents):
 
 
 def test_build_dictionary_aggregates_block_metadata_only(spark, documents):
-    """The whole build DAG shuffles exactly twice, neither corpus-scale: the
-    one-time shard layout exchange of the COMPRESSED blocks (which buys
-    zero-shuffle query batches) and the dictionary agg over block METADATA.
-    No join anywhere."""
+    """The whole build DAG has exactly ONE hash exchange, not corpus-scale:
+    the dictionary agg over block METADATA (postings cache is doc-aligned,
+    no layout exchange at all). No join anywhere."""
     from rustserini_spark.operators.index_build import build_index
 
     index = build_index(spark, documents.select("doc_id", "text"))
@@ -91,8 +90,7 @@ def test_build_dictionary_aggregates_block_metadata_only(spark, documents):
         )
     }
     kinds = sorted(set(shuffles.values()))
-    assert len(kinds) <= 2, f"{shuffles} exchanges:\n{plan[:2000]}"
-    assert any("shard" in k for k in kinds) and any("term" in k for k in kinds), kinds
+    assert len(kinds) <= 1 and all("term" in k for k in kinds), f"{shuffles}\n{plan[:2000]}"
     assert "Join" not in plan, plan[:1200]
 
 
@@ -108,7 +106,10 @@ def test_pruned_search_has_zero_block_shuffle_on_materialized_index(spark, docum
     res = bm25_search_pruned(index, qdf, k=10)
     plan = _plan(res)
     lines = plan.splitlines()
-    grp = next(i for i, l in enumerate(lines) if "FlatMapGroupsInPandas" in l)
+    grp = next(
+        i for i, l in enumerate(lines)
+        if "MapInPandas" in l or "FlatMapGroupsInPandas" in l
+    )
     scan = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l and i > grp)
     between = [l for l in lines[grp + 1 : scan] if "Exchange" in l]
     assert not between, (between, "\n".join(lines[grp:scan + 1]))
