@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 from rustserini_spark.analysis import LUCENE_ENGLISH_STOPWORDS
 from rustserini_spark.functions.parity import r4, sql_r4
 from rustserini_spark.functions.text import (
+    BPE_ISH_PATTERN,
     LANG_MARKERS,
     fingerprint_col,
     lang_id_col,
     quality_features,
+    token_counts,
     with_tokens,
 )
 from rustserini_spark.operators.dedup import (
@@ -475,6 +477,25 @@ def q_fingerprint(spark, sf_dir):
     return with_tokens(_docs(spark, sf_dir)).select("doc_id", fingerprint_col("toks").alias("fp"))
 
 
+def q_token_counts(spark, sf_dir):
+    """Token-budget accounting: whitespace words, simple tokens, BPE-ish
+    pre-tokenizer pieces (lookahead-free GPT-2-style split, identical under
+    Java regex and RE2)."""
+    return with_tokens(_docs(spark, sf_dir)).select("doc_id", *token_counts("text", "toks"))
+
+
+def _token_counts_sql() -> str:
+    pat = BPE_ISH_PATTERN.replace("'", "''")  # SQL string-literal escaping
+    return f"""
+WITH {_DOCS_CTE}
+SELECT d.doc_id,
+  CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(docs.toks) AS BIGINT) AS n_simple_tokens,
+  CAST(len(regexp_extract_all(lower(d.text), '{pat}')) AS BIGINT) AS n_bpe_ish_tokens
+FROM documents d JOIN docs USING (doc_id)
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -568,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -605,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             f"WITH {_DOCS_CTE} SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM docs"
         ),
+        "token_counts": _token_counts_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(),
         "ngram_jaccard_capped": _jaccard_sql(max_shingle_df=JACCARD_DF_CAP),

@@ -65,6 +65,32 @@ def token_count_col(tokens: Column | str) -> Column:
     return F.size(_as_col(tokens))
 
 
+# BPE-ish pre-tokenizer pieces (GPT-2-style word/number/punct split with
+# common English contraction suffixes, WITHOUT lookaheads so the same pattern
+# runs identically under Java regex (Spark) and RE2 (DuckDB oracle)). Token
+# counts from this split approximate subword-tokenizer budget accounting far
+# better than whitespace counts on web text.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_ish_tokens_col(text: Column | str) -> Column:
+    """Piece array under the BPE-ish pre-tokenizer (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def token_counts(text_col: str = "text", tokens: Column | str = "toks") -> list[Column]:
+    """whitespace-word, simple-token and BPE-ish piece counts per doc — the
+    token-budget accounting columns of a training-data pipeline."""
+    c = F.col(text_col)
+    ws = F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    return [
+        ws.cast("long").alias("n_ws_tokens"),
+        F.size(_as_col(tokens)).cast("long").alias("n_simple_tokens"),
+        F.size(bpe_ish_tokens_col(text_col)).cast("long").alias("n_bpe_ish_tokens"),
+    ]
+
+
 def quality_features(text_col: str = "text", tokens: Column | str = "toks") -> list[Column]:
     """n_chars, n_tokens, avg_token_len, stopword_ratio, distinct_ratio —
     the length/stopword-ratio quality heuristics used to filter web corpora."""

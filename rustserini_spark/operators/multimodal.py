@@ -125,3 +125,137 @@ def media_exact_dedup(media_df: DataFrame, id_col: str = "media_id", media_col: 
         media_df.groupBy(F.sha2(F.col(media_col), 256).alias("content_hash"))
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper"))
     )
+
+
+# ------------------------------------------------------------ resize / frames
+
+
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Real image resize — requires an imaging library not present here.
+    STUB (clearly marked): slot Pillow in on a real cluster."""
+    raise NotImplementedError(
+        "image resize requires an imaging library (e.g. Pillow); "
+        "not available in this environment — deterministic fake used for plumbing tests"
+    )
+
+
+def _fake_resized(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for the resized payload: sha256-keyed bytes of a
+    plausible size (w*h//8), stable across partitionings."""
+    seed = hashlib.sha256(data + f":{width}x{height}".encode()).digest()
+    n = max(1, width * height // 8)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    media_df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """Map-only Arrow resize stage: (media_id, media) -> resized payloads.
+    Zero shuffle; the codec call is the stub, the batch shape / schema /
+    byte-handling contract is the real one a Pillow kernel drops into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for data in pdf[media_col]:
+                data = bytes(data) if data is not None else b""
+                if use_real_decode:
+                    resize_image(data, width, height)  # raises (stub)
+                out.append(_fake_resized(data, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media": out,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return media_df.select(id_col, media_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_offsets_col(duration_col, n_frames: int):
+    """Deterministic uniform frame-sample timestamps (ms) from the metadata
+    duration — pure Catalyst, the REAL (non-stub) half of video sampling:
+    ts_i = floor(i * duration / n) for i in 0..n-1."""
+    d = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.floor(i * d / n_frames).cast("int"),
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def decode_video_frame(data: bytes, ts_ms: int) -> bytes:
+    """Real frame extraction — requires a video library. STUB."""
+    raise NotImplementedError(
+        "video decoding requires a codec library (e.g. PyAV/ffmpeg); "
+        "not available in this environment — deterministic fake used for plumbing tests"
+    )
+
+
+def sample_video_frames(
+    media_df: DataFrame,
+    n_frames: int,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    duration_col: str = "duration_ms",
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """(media_id, media, duration_ms) -> one row per sampled frame. Frame
+    TIMESTAMPS are computed exactly (uniform over the metadata duration); the
+    frame pixel decode is the stubbed kernel. Map-only, zero shuffle; output
+    fan-out is n_frames rows per video."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, data, dur in zip(pdf[id_col], pdf[media_col], pdf[duration_col]):
+                data = bytes(data) if data is not None else b""
+                dur = int(dur) if dur is not None else 0
+                for i in range(n_frames):
+                    ts = (i * dur) // n_frames
+                    if use_real_decode:
+                        decode_video_frame(data, ts)  # raises (stub)
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(hashlib.sha256(data + f"@{ts}".encode()).digest())
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "ts_ms": np.asarray(tss, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return media_df.select(id_col, media_col, duration_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -14,10 +14,12 @@ throughput swings with neighbor load, so the protocol is interference-aware):
   * warm-data: the corpus parquet is generated once and fully page-cached by
     an untimed warm scan before the timed section of EVERY rep, so no rep
     pays cold disk reads;
-  * INTERLEAVED reps: rounds alternate N-rep, 4N-rep (each a fresh cluster)
-    so both levels sample the same host weather; best-of per level is
-    reported (the standard throughput statistic under external interference)
-    with every rep listed so the variance is visible;
+  * SIMULTANEOUS paired rounds on DISJOINT CPU SETS (taskset: the same
+    cpus-per-task-slot at both levels): each round runs the N cluster and the
+    4N cluster in the same wall-clock window on non-overlapping cores, so
+    host interference (this is a shared-hypervisor VM whose throughput swings
+    ~2x with neighbor load) hits both identically and the per-round ratio is
+    meaningful; every rep is listed so the variance is visible;
   * both levels run the same 64 docid buckets / 64 shuffle partitions —
     the identical physical plan, only executor count differs. Result SETS
     are checked hash-identical across levels (rank parity at any size).
@@ -146,22 +148,52 @@ def main() -> None:
         return
 
     prepare_data()
+    n_cpus = os.cpu_count() or 32
+    total_slots = sum(w * c for w, c in LEVELS)
+    per_slot = max(1, min(3, n_cpus // total_slots))  # cpus per task slot, same at BOTH levels
+    # disjoint CPU sets (task slot + its Arrow python worker + JVM overhead),
+    # so neither level is cpu-starved and they never contend with each other
+    slot_sets = {}
+    cursor = 0
+    for w, c in LEVELS:
+        need = per_slot * w * c
+        slot_sets[f"{w}x{c}"] = f"{cursor}-{cursor + need - 1}"
+        cursor += need
+
     reps: dict[str, list] = {f"{w}x{c}": [] for w, c in LEVELS}
     for r in range(REPS):
-        for workers, cores in LEVELS:  # interleave: both levels see the same host weather
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--once", str(workers), str(cores)],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-                env={**os.environ, "SPARK_GRAFT_MASTER": "", "PYTHONPATH": REPO},
+        # SIMULTANEOUS paired rounds on disjoint cpusets: both levels run in
+        # the same wall-clock window, so host interference (a shared-
+        # hypervisor VM whose throughput swings with neighbor load) hits both
+        # identically and the per-round ratio stays meaningful.
+        procs = []
+        for workers, cores in LEVELS:
+            procs.append(
+                (
+                    f"{workers}x{cores}",
+                    subprocess.Popen(
+                        [
+                            "taskset", "-c", slot_sets[f"{workers}x{cores}"],
+                            sys.executable, os.path.abspath(__file__),
+                            "--once", str(workers), str(cores),
+                        ],
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.PIPE,
+                        text=True,
+                        cwd=REPO,
+                        env={**os.environ, "SPARK_GRAFT_MASTER": "", "PYTHONPATH": REPO},
+                    ),
+                )
             )
-            line = [ln for ln in proc.stdout.splitlines() if ln.startswith("SCALING_JSON ")]
+        for key, proc in procs:
+            out, err = proc.communicate()
+            line = [ln for ln in out.splitlines() if ln.startswith("SCALING_JSON ")]
             if not line:
-                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-                raise SystemExit(f"level {workers}x{cores} rep {r} failed")
+                sys.stderr.write(out[-2000:] + err[-4000:])
+                raise SystemExit(f"level {key} rep {r} failed")
             rep = json.loads(line[0][len("SCALING_JSON "):])
-            reps[f"{workers}x{cores}"].append(rep)
+            rep["cpuset"] = slot_sets[key]
+            reps[key].append(rep)
             print(json.dumps(rep))
 
     results = {}
@@ -225,14 +257,14 @@ levels ({lo['n_results']} rows; md5 over sorted (qid, rank, doc_id, score) equal
 | index build (docs/sec) | {lo['index_docs_per_sec']} | {hi['index_docs_per_sec']} | {speedup_build:.2f}x | {eff_build:.3f} | {pair_b} | **{med_b:.3f}** |
 | query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | {hi['queries_per_sec']/lo['queries_per_sec']:.2f}x | {eff_query:.3f} | {pair_q} | **{med_q:.3f}** |
 
-Per-rep walls (interleaved rounds, best-of bolded by the table above):
+Per-rep walls (simultaneous paired rounds, disjoint cpusets {slot_sets}):
 build N {lo['build_sec_all']} vs 4N {hi['build_sec_all']};
 query N {lo['query_sec_all']} vs 4N {hi['query_sec_all']} — on {lo['n_docs_indexed']} en docs.
 This sandbox is a shared-hypervisor VM whose throughput swings up to ~2x with
 neighbor load (pure-CPU probes swing identically; /proc steal stays ~0, i.e.
-memory-bandwidth contention, invisible to the guest). The PAIRED per-round
-ratio is the interference-robust statistic: each round runs N then 4N back to
-back under the same weather.
+contention invisible to the guest). The PAIRED per-round ratio is the
+interference-robust statistic: each round runs the two cluster sizes in the
+SAME wall-clock window on disjoint cores.
 
 Efficiency target >= 0.8 (paired median): {"**MET**" if med_b >= 0.8 else "NOT MET"} (build), {"**MET**" if med_q >= 0.8 else "NOT MET"} (query).
 

@@ -145,3 +145,25 @@ def test_parse_delimited_contents(spark):
     out = parse_delimited_contents(df, ["title", "text"], delimiter="\n")
     rows = {r.docid: (r.title, r.text) for r in out.collect()}
     assert rows == {"a": ("Title A", "body text a"), "b": ("Title B", "body b")}
+
+
+def test_bpe_ish_token_counts(spark):
+    import pandas as pd
+
+    from rustserini_spark.functions.text import token_counts, with_tokens
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["Don't stop, it's 42 tokens!", "hello   world", ""],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in with_tokens(df).select("doc_id", *token_counts("text", "toks")).collect()}
+    # "don" "'t" "stop" "," "it" "'s" "42" "tokens" "!"
+    assert out[0].n_bpe_ish_tokens == 9
+    assert out[0].n_ws_tokens == 5
+    assert out[0].n_simple_tokens == 7  # don t stop it s 42 tokens
+    assert out[1].n_ws_tokens == 2 and out[1].n_bpe_ish_tokens == 2
+    assert out[2].n_ws_tokens == 0 and out[2].n_bpe_ish_tokens == 0

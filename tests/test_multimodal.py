@@ -69,3 +69,50 @@ def test_media_exact_dedup(spark, media):
     groups = {r.keeper: r.n_dups for r in media_exact_dedup(media).collect()}
     assert groups[3] == 2
     assert sum(groups.values()) == 41
+
+
+def test_resize_images_plumbing(spark, media):
+    from rustserini_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, 32, 16).collect()
+    assert len(out) == 41
+    by_id = {r.media_id: r for r in out}
+    assert by_id[0].width == 32 and by_id[0].height == 16
+    assert len(bytes(by_id[0].media)) == 32 * 16 // 8
+    # deterministic across partitionings; identical inputs -> identical outputs
+    again = {r.media_id: bytes(r.media) for r in resize_images(media.repartition(5), 32, 16).collect()}
+    assert all(bytes(by_id[i].media) == again[i] for i in by_id)
+    assert again[3] == again[40]  # planted duplicate payloads
+
+
+def test_resize_real_decode_gated(spark, media):
+    import pytest as _pt
+    from rustserini_spark.operators.multimodal import resize_images
+
+    with _pt.raises(Exception):
+        resize_images(media, 8, 8, use_real_decode=True).collect()
+
+
+def test_sample_video_frames(spark):
+    import pandas as pd
+    from rustserini_spark.operators.multimodal import frame_offsets_col, sample_video_frames
+
+    vids = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2], "media": [b"v1" * 50, b"v2" * 50], "duration_ms": [1000, 40]}
+        )
+    )
+    out = sample_video_frames(vids, n_frames=4).collect()
+    assert len(out) == 8
+    got = {(r.media_id, r.frame_idx): r.ts_ms for r in out}
+    assert [got[(1, i)] for i in range(4)] == [0, 250, 500, 750]
+    assert [got[(2, i)] for i in range(4)] == [0, 10, 20, 30]
+    # Catalyst offsets expression agrees with the sampled rows
+    offs = {
+        r.media_id: r.offs
+        for r in vids.select("media_id", frame_offsets_col("duration_ms", 4).alias("offs")).collect()
+    }
+    assert offs[1] == [0, 250, 500, 750] and offs[2] == [0, 10, 20, 30]
+    # frames deterministic per (content, ts)
+    out2 = {(r.media_id, r.frame_idx): bytes(r.frame) for r in sample_video_frames(vids.repartition(3), n_frames=4).collect()}
+    assert all(out2[(r.media_id, r.frame_idx)] == bytes(r.frame) for r in out)
