@@ -286,14 +286,48 @@ WHERE rank <= {k}
 """
 
 
+# Planted near-duplicates: the testdata embeddings are random unit vectors
+# (max natural pairwise cosine ~0.51), so a 0.95-threshold near-dup gate is
+# vacuous on the raw fixture. Both engines therefore union in PLANTED copies
+# of vec_id < PLANT_N with the first coordinate shifted by PLANT_DELTA
+# (cosine ~0.992 >= 0.95). 0.125 is binary-exact, and both engines do the
+# same float->double add->float cast, so the planted vectors are bit-identical.
+PLANT_N = 3
+PLANT_OFFSET = 1_000_000
+PLANT_DELTA = 0.125
+
+_EMB_PLANTED_CTE = f"""
+planted AS (
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_prepend(CAST(embedding[1] + {PLANT_DELTA} AS FLOAT), embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id < {PLANT_N}),
+emb_all AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM planted)"""
+
+
+def _emb_with_planted(spark, sf_dir: str) -> DataFrame:
+    """Spark twin of _EMB_PLANTED_CTE (same bit-exact perturbation)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == 0, (x.cast("double") + F.lit(PLANT_DELTA)).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
 def _emb_neardup_sql(threshold: float = 0.95) -> str:
     cos = (
         "list_inner_product(va, vb) / "
         "(sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))"
     )
     return f"""
-WITH a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
-b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings)
+WITH {_EMB_PLANTED_CTE},
+a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS va FROM emb_all),
+b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS vb FROM emb_all)
 SELECT vec_a, vec_b, cos FROM (
   SELECT vec_a, vec_b, {sql_r4(cos)} AS cos FROM a JOIN b ON vec_a < vec_b)
 WHERE cos >= {threshold}
@@ -485,11 +519,14 @@ def q_token_counts(spark, sf_dir):
 
 
 def _token_counts_sql() -> str:
+    from rustserini_spark.functions.text import WS_CLASS
+
     pat = BPE_ISH_PATTERN.replace("'", "''")  # SQL string-literal escaping
+    # explicit whitespace class on BOTH engines (Java \s has \x0b, RE2's not)
     return f"""
 WITH {_DOCS_CTE}
 SELECT d.doc_id,
-  CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(list_filter(regexp_split_to_array(d.text, '[{WS_CLASS}]+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
   CAST(len(docs.toks) AS BIGINT) AS n_simple_tokens,
   CAST(len(regexp_extract_all(lower(d.text), '{pat}')) AS BIGINT) AS n_bpe_ish_tokens
 FROM documents d JOIN docs USING (doc_id)
@@ -531,10 +568,11 @@ def q_ngram_jaccard_capped(spark, sf_dir):
 def q_lsh_neardup(spark, sf_dir):
     """Composed buckets->verify embedding near-dup (approximate by
     construction -> rows-only driver check; planted-dup recall is asserted in
-    tests/test_similarity.py)."""
-    emb = _emb(spark, sf_dir)
+    tests/test_similarity.py). Runs over the planted-near-dup union so the
+    driver gate returns >0 rows (the raw fixture has no 0.95-cosine pairs)."""
+    emb = _emb_with_planted(spark, sf_dir)
     dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_neardup_pairs(emb, dim=dim, threshold=0.5, n_planes=8)
+    return lsh_neardup_pairs(emb, dim=dim, threshold=0.95, n_planes=8)
 
 
 def q_embedding_cosine_topk(spark, sf_dir):
@@ -550,7 +588,9 @@ def q_embedding_dot_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.95)
+    """Exact near-dup verify over the planted-near-dup union: the oracle
+    comparison now has rows to disagree on (previously 0 = vacuous)."""
+    return cosine_neardup_pairs(_emb_with_planted(spark, sf_dir), threshold=0.95)
 
 
 def q_ann_lsh_topk(spark, sf_dir):

@@ -3,6 +3,16 @@
 Runs the engine's flagship operations at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Times are end-to-end wall seconds per operation
 (plan + execute + materialize counts), excluding Spark session startup.
+
+Protocol (self-described in the output's "protocol" field):
+  * SPARK_GRAFT_BENCH_REPS (default 1) full repetitions of the whole suite in
+    ONE Spark session; the reported per-query time is the MIN across reps
+    (this host is a shared-hypervisor VM whose throughput swings up to ~2x
+    with neighbor load — min is the least-weather-biased point estimate).
+    All raw reps are kept in "extra.reps_raw" so the variance stays visible.
+  * the index is rebuilt (and its cache dropped) every rep — no rep ever
+    reads a previous rep's cached postings.
+  * the driver's own wrapper may add fields (e.g. "n") outside this dict.
 """
 
 from __future__ import annotations
@@ -17,23 +27,31 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+
+BENCH_QUERIES = (
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "simhash_groups",
+    "simhash_neardup_pairs",
+    "lsh_neardup",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "encode_knn",
+)
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
-
-    import __spark_entry__ as entry_mod
-    from rustserini_spark import get_spark
+def run_suite(spark, docs, queries_df, entry_mod) -> dict[str, float]:
+    """One full pass over every benchmarked operation; fresh index each call."""
     from rustserini_spark.operators.index_build import build_index
     from rustserini_spark.operators.search import bm25_search, bm25_search_pruned
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    n_docs = docs.count()
-    queries_df = entry_mod._queries_df(spark)
-
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -43,34 +61,40 @@ def main() -> None:
 
     # 1. index build (the reference's lucene_indexer analog), forced to
     #    materialize every posting block
-    def _build():
-        return build_index(spark, docs, analyzer="porter").materialize()
-
-    index = timed("index_build_porter", _build)
-    extra["index_docs_per_sec"] = round(n_docs / timings["index_build_porter"], 1)
+    index = timed(
+        "index_build_porter",
+        lambda: build_index(spark, docs, analyzer="porter").materialize(),
+    )
 
     # 2. query paths over the built index
     timed("bm25_pruned_topk", lambda: bm25_search_pruned(index, queries_df, k=10).count())
     timed("bm25_exhaustive_topk", lambda: bm25_search(index, queries_df, k=10).count())
+    index.postings.unpersist()
+    index.dictionary.unpersist()
 
     # 3. curation / dedup / similarity / encode operators from the entry contract
     q = entry_mod.queries()
-    for name in (
-        "exact_dedup",
-        "minhash_lsh_pairs",
-        "ngram_jaccard_pairs",
-        "ngram_jaccard_capped",
-        "simhash_groups",
-        "simhash_neardup_pairs",
-        "lsh_neardup",
-        "text_quality",
-        "lang_id",
-        "fingerprint",
-        "embedding_cosine_topk",
-        "ann_lsh_topk",
-        "encode_knn",
-    ):
+    for name in BENCH_QUERIES:
         timed(name, lambda name=name: q[name](spark, SF_DIR).count())
+    return timings
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from rustserini_spark import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    queries_df = entry_mod._queries_df(spark)
+
+    reps = [run_suite(spark, docs, queries_df, entry_mod) for _ in range(REPS)]
+    timings = {k: min(r[k] for r in reps) for k in reps[0]}
+    extra: dict = {
+        "index_docs_per_sec": round(n_docs / timings["index_build_porter"], 1)
+    }
+    if REPS > 1:
+        extra["reps_raw"] = reps
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -85,6 +109,11 @@ def main() -> None:
                 "extra": extra,
                 "n_docs": n_docs,
                 "cpus": int(CPUS),
+                "protocol": {
+                    "reps": REPS,
+                    "aggregation": "min-per-query across reps (fresh index per rep)",
+                    "host_note": "shared-hypervisor VM; throughput swings ~2x with neighbor load",
+                },
             }
         )
     )

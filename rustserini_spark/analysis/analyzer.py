@@ -144,7 +144,9 @@ def term_freq_batches_factory(analyze_fn):
             texts = pdf.iloc[:, 1]
             for lo in range(0, len(pdf), SEG_DOCS):
                 hi = min(lo + SEG_DOCS, len(pdf))
-                seg = (pid << 14) | (seg_counter & 0x3FFF)
+                seg = (pid << 32) | seg_counter  # int64: same scheme as the
+                # one-pass encoder (index_build.encode_docs_factory) — partition
+                # ids to 2^31 and 2^32 segments per task, no overflow at scale
                 seg_counter += 1
                 terms, docs, dls, tfs = [], [], [], []
                 for doc_id, text in zip(doc_ids[lo:hi], texts.iloc[lo:hi]):
@@ -165,14 +167,14 @@ def term_freq_batches_factory(analyze_fn):
                         "doc_id": np.concatenate(docs),
                         "dl": np.concatenate(dls),
                         "tf": np.asarray(tfs, dtype=np.int64),
-                        "seg": np.int32(seg),
+                        "seg": np.int64(seg),
                     }
                 )
 
     return gen
 
 
-TF_RELATION_SCHEMA = "term string, doc_id long, dl long, tf long, seg int"
+TF_RELATION_SCHEMA = "term string, doc_id long, dl long, tf long, seg long"
 
 
 def analyze_col(text: Column | str) -> Column:

@@ -69,8 +69,11 @@ def token_count_col(tokens: Column | str) -> Column:
 # common English contraction suffixes, WITHOUT lookaheads so the same pattern
 # runs identically under Java regex (Spark) and RE2 (DuckDB oracle)). Token
 # counts from this split approximate subword-tokenizer budget accounting far
-# better than whitespace counts on web text.
-BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]+"
+# better than whitespace counts on web text. Whitespace is an EXPLICIT char
+# class, not \s: Java's \s includes \x0b (vertical tab) while RE2's does not,
+# so \s would let the two engines disagree on VT-containing text.
+WS_CLASS = r" \t\n\x0B\f\r"
+BPE_ISH_PATTERN = rf"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9{WS_CLASS}]+"
 
 
 def bpe_ish_tokens_col(text: Column | str) -> Column:
@@ -83,7 +86,7 @@ def token_counts(text_col: str = "text", tokens: Column | str = "toks") -> list[
     """whitespace-word, simple-token and BPE-ish piece counts per doc — the
     token-budget accounting columns of a training-data pipeline."""
     c = F.col(text_col)
-    ws = F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    ws = F.size(F.filter(F.split(c, rf"[{WS_CLASS}]+"), lambda t: t != ""))
     return [
         ws.cast("long").alias("n_ws_tokens"),
         F.size(_as_col(tokens)).cast("long").alias("n_simple_tokens"),

@@ -290,7 +290,10 @@ def simhash_neardup_pairs(
     if n_bands <= max_hamming:
         raise ValueError("need n_bands > max_hamming for pigeonhole completeness")
     sig = simhash64_signatures(docs, text_col, id_col)
-    sig = sig.select("doc_id", "simhash", *simhash_bands(F.col("simhash"), n_bands)).persist()
+    # no persist: each self-join branch recomputes the signature map pass
+    # (map-side only, no shuffle) — cheaper at scale than leaking executor
+    # cache across repeated calls, since nothing here ever unpersists
+    sig = sig.select("doc_id", "simhash", *simhash_bands(F.col("simhash"), n_bands))
     bands = sig.select(
         "doc_id",
         "simhash",

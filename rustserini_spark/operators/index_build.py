@@ -127,16 +127,25 @@ class BM25Index:
     n_shards: int = N_SHARDS_DEFAULT
     meta: dict = field(default_factory=dict)
 
-    def materialize(self) -> "BM25Index":
+    def materialize(self, timings: dict | None = None) -> "BM25Index":
         """Persist + force the query-time tables so searches hit cached blocks
-        instead of re-running the build DAG. build_index caches postings
-        hash-partitioned by shard, so after this the pruned search's
-        groupBy(shard) reuses the cached partitioning — query batches run with
-        zero shuffle."""
+        instead of re-running the build DAG. The one-pass encoder's postings
+        keep the encode tasks' DOC-ALIGNED partitioning (a doc's postings never
+        leave the task that encoded them), so the pruned search runs
+        mapInPandas per cached partition — query batches run with zero
+        shuffle. Disk-opened indexes instead shuffle matched blocks once to
+        their shard group per batch."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.postings = self.postings.persist()
         self.postings.count()
+        t1 = _time.perf_counter()
         self.dictionary = self.dictionary.persist()
         self.dictionary.count()
+        if timings is not None:
+            timings["postings_count_sec"] = round(t1 - t0, 3)
+            timings["dictionary_agg_sec"] = round(_time.perf_counter() - t1, 3)
         return self
 
 

@@ -3,10 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a typed
 metadata struct, processed batch-at-a-time in Arrow (``mapInPandas``). The
 actual codec work (JPEG decode, resampling, frame extraction) needs libraries
-this container doesn't ship, so the decode kernels are STUBBED: a clearly
-marked ``NotImplementedError`` for real decoding plus a deterministic fake
-feature extractor so the Spark-side plumbing — schema, batch shape, UDF
-signatures, partitioning — is real and fully tested.
+this container doesn't ship, so the codec kernels SOFT-IMPORT their library
+(Pillow for images, PyAV for video) at module load: when present the real
+kernel runs; when absent ``use_real_decode=True`` raises a clearly marked
+``NotImplementedError`` and the deterministic fakes keep the Spark-side
+plumbing — schema, batch shape, UDF signatures, partitioning — real and fully
+tested either way. The same tests cover both modes (skip-gated on HAVE_PIL /
+HAVE_PYAV).
 
 Design for 100 TB: media bytes never leave the executor (no collect), batches
 are bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` *rows* but the
@@ -49,12 +52,33 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(data: bytes) -> "np.ndarray":
-    """Real image decode — requires an imaging library not present here.
+# soft-import codec libraries: real kernels activate automatically on a
+# provisioned cluster, deterministic fakes keep this container fully tested
+try:  # pragma: no cover - absent in this container
+    from PIL import Image as _PILImage
 
-    STUB (clearly marked per the build contract): slot Pillow/torchvision in
-    on a real cluster; everything around this function is production-shaped.
-    """
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+try:  # pragma: no cover - absent in this container
+    import av as _av
+
+    HAVE_PYAV = True
+except ImportError:
+    _av = None
+    HAVE_PYAV = False
+
+
+def decode_image(data: bytes) -> "np.ndarray":
+    """Image bytes -> HxWxC uint8 array via Pillow when importable; otherwise
+    a clearly marked NotImplementedError (this container ships no codecs —
+    everything around this kernel is production-shaped either way)."""
+    if HAVE_PIL:  # pragma: no cover - exercised only where Pillow exists
+        import io
+
+        return np.asarray(_PILImage.open(io.BytesIO(data)).convert("RGB"))
     raise NotImplementedError(
         "image decoding requires an imaging library (e.g. Pillow); "
         "not available in this environment — use fake_features for plumbing tests"
@@ -67,6 +91,21 @@ def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     h = hashlib.sha256(data).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4")
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def pixel_features(arr: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real-decode feature kernel: 4x4 grid of mean gray intensities in [0,1]
+    over the decoded pixel array (any HxW or HxWxC uint8 input)."""
+    g = arr.mean(axis=2) if arr.ndim == 3 else arr
+    h, w = g.shape
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    out = [
+        g[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+        for i in range(4)
+        for j in range(4)
+    ]
+    return (np.asarray(out, dtype=np.float32) / np.float32(255.0))[:dim]
 
 
 def media_metadata_col(media: str, media_type: str = "image"):
@@ -104,8 +143,10 @@ def extract_features(
             for data in pdf[media_col]:
                 data = bytes(data) if data is not None else b""
                 if use_real_decode:
-                    decode_image(data)  # raises NotImplementedError (stub)
-                feats.append(fake_features(data).tolist())
+                    # raises NotImplementedError when no codec lib is present
+                    feats.append(pixel_features(decode_image(data)).tolist())
+                else:
+                    feats.append(fake_features(data).tolist())
                 hashes.append(hashlib.sha256(data).hexdigest())
             yield pd.DataFrame(
                 {
@@ -131,8 +172,15 @@ def media_exact_dedup(media_df: DataFrame, id_col: str = "media_id", media_col: 
 
 
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real image resize — requires an imaging library not present here.
-    STUB (clearly marked): slot Pillow in on a real cluster."""
+    """Image bytes -> resized PNG bytes via Pillow when importable; otherwise
+    a clearly marked NotImplementedError (no codecs in this container)."""
+    if HAVE_PIL:  # pragma: no cover - exercised only where Pillow exists
+        import io
+
+        img = _PILImage.open(io.BytesIO(data)).convert("RGB").resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
     raise NotImplementedError(
         "image resize requires an imaging library (e.g. Pillow); "
         "not available in this environment — deterministic fake used for plumbing tests"
@@ -177,8 +225,10 @@ def resize_images(
             for data in pdf[media_col]:
                 data = bytes(data) if data is not None else b""
                 if use_real_decode:
-                    resize_image(data, width, height)  # raises (stub)
-                out.append(_fake_resized(data, width, height))
+                    # raises NotImplementedError when no codec lib is present
+                    out.append(resize_image(data, width, height))
+                else:
+                    out.append(_fake_resized(data, width, height))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -213,7 +263,21 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def decode_video_frame(data: bytes, ts_ms: int) -> bytes:
-    """Real frame extraction — requires a video library. STUB."""
+    """Video bytes -> nearest decoded frame at ts_ms as PNG bytes via PyAV
+    when importable; otherwise a clearly marked NotImplementedError."""
+    if HAVE_PYAV:  # pragma: no cover - exercised only where PyAV exists
+        import io
+
+        with _av.open(io.BytesIO(data)) as container:
+            stream = container.streams.video[0]
+            offset = int(ts_ms / 1000 / float(stream.time_base))
+            container.seek(offset, stream=stream)
+            for frame in container.decode(stream):
+                img = frame.to_image()
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+        raise ValueError(f"no decodable frame at {ts_ms}ms")
     raise NotImplementedError(
         "video decoding requires a codec library (e.g. PyAV/ffmpeg); "
         "not available in this environment — deterministic fake used for plumbing tests"
@@ -244,11 +308,13 @@ def sample_video_frames(
                 for i in range(n_frames):
                     ts = (i * dur) // n_frames
                     if use_real_decode:
-                        decode_video_frame(data, ts)  # raises (stub)
+                        # raises NotImplementedError when no codec lib exists
+                        frames.append(decode_video_frame(data, ts))
+                    else:
+                        frames.append(hashlib.sha256(data + f"@{ts}".encode()).digest())
                     ids.append(int(mid))
                     idxs.append(i)
                     tss.append(ts)
-                    frames.append(hashlib.sha256(data + f"@{ts}".encode()).digest())
             yield pd.DataFrame(
                 {
                     "media_id": np.asarray(ids, dtype=np.int64),

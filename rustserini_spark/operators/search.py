@@ -57,6 +57,11 @@ MAX_LOCAL_QUERY_TERMS = 100_000
 # in one task.
 DECODE_CACHE_MAX_POSTINGS = 4_000_000
 
+# Doc-aligned search: max bytes of COMPRESSED matched blocks accumulated into
+# one in-task scoring group before flushing (plus at most one segment's tail).
+# Groups are unions of complete segments, so each stays doc-disjoint.
+DOC_ALIGNED_GROUP_BUDGET_BYTES = 256 << 20
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("qid", T.StringType(), False),
@@ -185,14 +190,27 @@ def _shard_topk(
     avgdl: float,
     decoded_cache: "_DecodeCache",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Lossless block-max MaxScore for one query on one doc shard (pure NumPy).
+    """Lossless block-max MaxScore for one query on one doc shard (pure NumPy),
+    with TRUE MaxScore term ordering (the reference's Lucene BMW progressive
+    threshold, delegated at /root/reference/src/searcher/lucene/searcher.rs:86-90):
 
-    1. Seed threshold θ by exactly scoring the docs of the single best block.
-    2. Candidate generation: a block is skipped when
-       qtf·max_impact(block) + Σ_{other terms} U < θ — any doc living only in
-       skipped blocks provably cannot reach the shard top-k.
-    3. Exact verification: candidates are scored exactly against every term,
-       decoding only blocks whose docid range intersects the candidate set.
+    1. Terms are processed in DESCENDING per-term score-bound order (U = qtf ·
+       max block impact), their blocks in descending block-bound order.
+    2. The threshold θ is re-tightened from the running exact top-k after every
+       decoded block chunk, so by the time a low-bound head term is reached θ
+       is already high and its blocks stop qualifying as candidate generators:
+       a block is skipped when qtf·max_impact(block) + Σ_{other terms} U < θ.
+    3. Term early-exit: once U(tᵢ) + Σ_{j>i} U(tⱼ) < θ, no doc unseen so far
+       can reach the top-k from the remaining terms — candidate generation
+       stops entirely (head-term candidate explosion is bounded by this).
+    4. Exact verification: every candidate is scored exactly against every
+       term, decoding only blocks whose docid range intersects the candidates.
+
+    Losslessness: a doc that never became a candidate either (a) appeared in a
+    processed term's skipped block B — then score(doc) ≤ qtf·bound(B) +
+    Σ_{other} U < θ_at_skip ≤ θ_final, or (b) appeared only in terms after the
+    early-exit — then score(doc) ≤ Σ_remaining U < θ_final. Either way it
+    cannot beat the exact kth score.
 
     ``rows`` indexes this query's blocks within the shard's arrays; decoded
     blocks are memoized in ``decoded_cache`` so queries sharing head terms
@@ -252,23 +270,47 @@ def _shard_topk(
         np.add.at(scores, idx[match], imp[match])
         return scores
 
-    best = int(np.argmax(weighted_max))
-    seed_docs = np.unique(decode_rows(np.array([best]))[0])
-    seed_scores = exact_scores(seed_docs)
-    theta = 0.0
-    if seed_docs.size >= k:
-        theta = float(np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k])
+    # term order: descending per-term bound; suffix[i] = Σ bounds after pos i
+    present = np.unique(t_idx)
+    t_order = present[np.argsort(-U[present], kind="stable")]
+    u_ord = U[t_order]
+    suffix = np.concatenate([np.cumsum(u_ord[::-1])[::-1][1:], [0.0]])
 
-    others = sumU - U[t_idx]
-    keep = np.flatnonzero(weighted_max + others >= theta)
-    cand = np.unique(np.concatenate([seed_docs, decode_rows(keep)[0]]))
-    scores = exact_scores(cand)
+    cand = np.empty(0, dtype=np.int64)  # sorted candidate ids, exact scores
+    cscores = np.empty(0)
+    theta = 0.0
+    CHUNK = 16  # blocks decoded between θ re-tightenings
+
+    for pos in range(t_order.size):
+        if u_ord[pos] + suffix[pos] < theta:
+            break  # remaining terms cannot produce a new top-k doc
+        t = int(t_order[pos])
+        others = sumU - U[t]
+        trows = np.flatnonzero(t_idx == t)
+        tb = weighted_max[trows]
+        bo = np.argsort(-tb, kind="stable")  # this term's blocks, bound desc
+        for c0 in range(0, bo.size, CHUNK):
+            sel = bo[c0 : c0 + CHUNK]
+            sel = sel[tb[sel] + others >= theta]
+            if sel.size == 0:
+                break  # descending bounds: every later block fails too
+            d = np.unique(decode_rows(trows[sel])[0])
+            new = np.setdiff1d(d, cand, assume_unique=True)
+            if new.size:
+                ns = exact_scores(new)
+                at = np.searchsorted(cand, new)
+                cand = np.insert(cand, at, new)
+                cscores = np.insert(cscores, at, ns)
+                if cand.size >= k:
+                    theta = float(
+                        np.partition(cscores, cscores.size - k)[cscores.size - k]
+                    )
 
     n = min(k, cand.size)
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    order = np.lexsort((cand, -scores))[:n]
-    return cand[order], scores[order]
+    order = np.lexsort((cand, -cscores))[:n]
+    return cand[order], cscores[order]
 
 
 class _DecodeCache:
@@ -281,11 +323,13 @@ class _DecodeCache:
         self._d: dict[int, tuple] = {}
         self._n = 0
         self._max = max_postings
+        self.n_blocks_decoded = 0  # pruning effectiveness metric (tested)
 
     def get(self, key: int):
         return self._d.get(key)
 
     def put(self, key: int, hit: tuple) -> None:
+        self.n_blocks_decoded += 1
         if self._n + hit[0].size > self._max:
             self._d.clear()
             self._n = 0
@@ -377,10 +421,54 @@ def bm25_search_pruned(index: BM25Index, queries: DataFrame, k: int = 10) -> Dat
         # PARTITION is valid with no grouping — zero shuffle for the blocks,
         # at build time or per batch. The frame may span several shards;
         # their union is still doc-disjoint, which is all _shard_topk needs.
+        #
+        # MEMORY BOUND: a partition's matched blocks are never all concatenated
+        # into one frame. Segments (salt) arrive as contiguous runs in emit
+        # order; any union of COMPLETE segments is doc-disjoint, so the stream
+        # flushes a group to shard_search whenever the accumulated complete
+        # segments exceed a byte budget, carrying the incomplete tail segment —
+        # a head-term batch holds at most budget + one segment's blocks.
         def partition_search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            pdfs = [p for p in batches if not p.empty]
-            if pdfs:
-                yield shard_search(pd.concat(pdfs, ignore_index=True))
+            buf: list[pd.DataFrame] = []
+            buf_bytes = 0
+            carry: pd.DataFrame | None = None
+            seen_salts: set[int] = set()
+
+            def flush():
+                nonlocal buf, buf_bytes
+                if buf:
+                    out = shard_search(pd.concat(buf, ignore_index=True))
+                    buf, buf_bytes = [], 0
+                    if len(out):
+                        yield out
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                salts = pdf["salt"].to_numpy()
+                # guard the contiguous-segment-run invariant the flush relies
+                # on: a salt reappearing after its run closed would split a
+                # doc's postings across groups (fail loud, never corrupt)
+                closing = salts[np.concatenate(([True], salts[1:] != salts[:-1]))]
+                news = set(int(s) for s in closing)
+                if len(news) != closing.size or news & seen_salts:
+                    raise AssertionError("doc-aligned postings: segment runs not contiguous")
+                seen_salts |= set(int(s) for s in closing[:-1])
+                n_tail = int((salts[::-1] == salts[-1]).cumprod().sum())
+                cut = len(pdf) - n_tail
+                carry = pdf.iloc[cut:].reset_index(drop=True)
+                if cut:
+                    head = pdf.iloc[:cut]
+                    buf.append(head)
+                    buf_bytes += int(head["postings_bin"].map(len).sum())
+                if buf_bytes >= DOC_ALIGNED_GROUP_BUDGET_BYTES:
+                    yield from flush()
+            if carry is not None and len(carry):
+                buf.append(carry)
+            yield from flush()
 
         local = blocks.mapInPandas(partition_search, out_schema)
     else:

@@ -51,16 +51,27 @@ from rustserini_spark.sources.synth import docmap_from_urls, extract_text_col
 N_ID_BUCKETS_DEFAULT = 64  # docid hash buckets: a BUILD parameter (ids are a
 # pure function of the url set + this count), NOT a cluster-size parameter
 
+# Auto-bucketing policy: one docid bucket per ~2^20 docs (each bucket is
+# sorted in one task — this caps the per-task sort at ~1M urls no matter the
+# corpus size; 64 buckets at 100x scale would mean TB-sized per-task sorts).
+TARGET_DOCS_PER_BUCKET = 1 << 20
+
+
+def auto_id_buckets(n_docs: int) -> int:
+    """Scale the docid bucket count with the corpus: >= n_docs / 2^20,
+    rounded up to a power of two, never below N_ID_BUCKETS_DEFAULT."""
+    need = max(1, -(-n_docs // TARGET_DOCS_PER_BUCKET))
+    return max(N_ID_BUCKETS_DEFAULT, 1 << (need - 1).bit_length())
+
 
 def extraction_mismatches(webtext: DataFrame) -> DataFrame:
     """Rows where extract(html) != text byte-for-byte (must be empty) —
-    diagnostic view; the build itself enforces this inline on every row."""
+    diagnostic view; the build itself enforces this inline on every row with
+    the SAME null-safe predicate (both-NULL is parity, single-NULL is not)."""
     ext = webtext.withColumn("extracted", extract_text_col("html"))
-    return ext.filter(
-        (F.col("extracted") != F.col("text"))
-        | F.col("extracted").isNull()
-        | F.col("text").isNull()
-    ).select("url", "text", "extracted")
+    return ext.filter(~F.col("extracted").eqNullSafe(F.col("text"))).select(
+        "url", "text", "extracted"
+    )
 
 
 @dataclass
@@ -73,18 +84,29 @@ def _bucket_col(p: int):
     return F.pmod(F.xxhash64("url"), F.lit(p)).cast("int").alias("_pid")
 
 
-def _bucket_offsets(corpus: DataFrame, p: int) -> tuple[dict[int, int], int]:
-    """Per-bucket docid offsets + total count. One column-pruned scan with a
-    map-side partial agg — the shuffle payload is p rows per input partition."""
-    counts = {
+def bucket_counts(corpus: DataFrame, p: int) -> dict[int, int]:
+    """Per-bucket row counts. One column-pruned scan with a map-side partial
+    agg — the shuffle payload is p rows per input partition. On an Iceberg
+    table bucket-partitioned on xxhash64(url)%p these counts are MANIFEST
+    METADATA (per-partition row counts) and need no scan at all — callers that
+    have them pass ``precomputed_counts`` to index_webtext."""
+    return {
         r["_pid"]: r["n"]
         for r in corpus.select(_bucket_col(p)).groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+
+def offsets_from_counts(counts: dict[int, int], p: int) -> tuple[dict[int, int], int]:
+    """Dense docid offsets (prefix sums in bucket order) + total count."""
     offsets, acc = {}, 0
     for pid in range(p):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
     return offsets, acc
+
+
+def _bucket_offsets(corpus: DataFrame, p: int) -> tuple[dict[int, int], int]:
+    return offsets_from_counts(bucket_counts(corpus, p), p)
 
 
 def _assign_ordinals(pids: np.ndarray, offsets: dict, counters: dict) -> np.ndarray:
@@ -175,8 +197,20 @@ def index_webtext(
     block_size: int = BLOCK_SIZE_DEFAULT,
     seg_docs: int = SEG_DOCS_DEFAULT,
     n_shards: int = N_SHARDS_DEFAULT,
-    n_id_buckets: int = N_ID_BUCKETS_DEFAULT,
+    n_id_buckets: int | None = None,
+    n_docs_hint: int | None = None,
+    precomputed_counts: dict[int, int] | None = None,
+    timings: dict | None = None,
 ) -> WebtextIndex:
+    """``n_id_buckets=None`` (default) applies the ``auto_id_buckets`` policy:
+    the bucket count scales with the corpus so per-task docid sorts stay ~1M
+    urls at any scale. ``n_docs_hint`` supplies the (post-filter) corpus size
+    without a scan — on an Iceberg table the manifest row counts provide it
+    for free; without a hint one column-pruned count scan picks the policy.
+    ``precomputed_counts`` likewise supplies the per-bucket counts (Iceberg
+    manifest metadata on a bucket-partitioned table) so the build skips its
+    one counting scan. ``timings`` (optional dict) receives per-stage wall
+    seconds: bucket_counts_sec, encode_sec."""
     corpus = webtext
     if lang is not None:
         # on a lang-partitioned Iceberg table this filter is partition pruning,
@@ -189,9 +223,14 @@ def index_webtext(
     # encode pass — no separate verification pass over the corpus.
     extracted = extract_text_col("html")
     if verify_extraction:
-        text_expr = F.when(extracted == F.col("text"), extracted).otherwise(
+        # null-safe (<=>): both-NULL is parity (matching extraction_mismatches'
+        # diagnostic semantics); coalesce keeps the message non-NULL on NULL url
+        text_expr = F.when(extracted.eqNullSafe(F.col("text")), extracted).otherwise(
             F.raise_error(
-                F.concat(F.lit("extraction parity violation: extract(html) != text at url="), F.col("url"))
+                F.concat(
+                    F.lit("extraction parity violation: extract(html) != text at url="),
+                    F.coalesce(F.col("url"), F.lit("<null>")),
+                )
             )
         )
     else:
@@ -218,7 +257,21 @@ def index_webtext(
         return WebtextIndex(index=index, docmap=docmap)
 
     # fused path: docid assignment inside the encode pass (module docstring)
-    offsets, n_docs = _bucket_offsets(corpus, n_id_buckets)
+    import time as _time
+
+    if n_id_buckets is None:
+        n_id_buckets = auto_id_buckets(
+            n_docs_hint if n_docs_hint is not None else corpus.count()
+        )
+    t0 = _time.perf_counter()
+    counts = (
+        precomputed_counts
+        if precomputed_counts is not None
+        else bucket_counts(corpus, n_id_buckets)
+    )
+    offsets, n_docs = offsets_from_counts(counts, n_id_buckets)
+    if timings is not None:
+        timings["bucket_counts_sec"] = round(_time.perf_counter() - t0, 3)
     src = _bucketed_urls(corpus, n_id_buckets, text_expr.alias("text"))
     postings_raw = src.mapInPandas(
         fused_ordinal_encode_factory(
@@ -227,6 +280,7 @@ def index_webtext(
         POSTINGS_SCHEMA,
     )
     docmap = hash_bucket_docmap(corpus, n_id_buckets, offsets)
+    t0 = _time.perf_counter()
     index = assemble_index(
         postings_raw,
         n_docs,
@@ -237,6 +291,8 @@ def index_webtext(
         block_size=block_size,
         n_shards=n_shards,
     )
+    if timings is not None:
+        timings["encode_sec"] = round(_time.perf_counter() - t0, 3)
     return WebtextIndex(index=index, docmap=docmap)
 
 

@@ -51,7 +51,9 @@ LEVELS = tuple(
 EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "10240"))
 DATA_DIR = os.environ.get("SCALING_DATA_DIR", f"/tmp/rustserini_scaling/webtext_{N_DOCS}")
 N_QUERIES = 256
-REPS = int(os.environ.get("SCALING_REPS", "2"))
+REPS = int(os.environ.get("SCALING_REPS", "7"))
+# build stages measured separately inside run_once (VERDICT r2 ask #1b):
+STAGES = ("bucket_counts_sec", "encode_sec", "postings_count_sec", "dictionary_agg_sec")
 
 
 def _queries():
@@ -108,9 +110,16 @@ def run_once(workers: int, cores: int) -> dict:
     tokenize_docs(warm, "text", "url", "porter").select(F.sum(F.size("tokens"))).collect()
 
     qdf = spark.createDataFrame(_queries(), "qid string, query string")
+    stage_t: dict = {}
     t0 = time.perf_counter()
-    wt = index_webtext(spark, webtext, lang="en", verify_extraction=True)
-    wt.index.materialize()
+    # n_docs_hint (known from the untimed warm count — Iceberg manifest
+    # metadata on a real table) only picks the bucket-count policy; the
+    # bucket-count scan itself stays inside the timed build.
+    wt = index_webtext(
+        spark, webtext, lang="en", verify_extraction=True,
+        n_docs_hint=n_en, timings=stage_t,
+    )
+    wt.index.materialize(stage_t)
     build_sec = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -136,6 +145,7 @@ def run_once(workers: int, cores: int) -> dict:
         "n_queries": N_QUERIES,
         "n_results": n_results,
         "results_hash": results_hash,
+        "stages": stage_t,
         "wall_clock": time.strftime("%H:%M:%S"),
     }
     spark.stop()
@@ -228,8 +238,40 @@ def main() -> None:
         round(reps[f"{w0}x{c0}"][r]["query_sec"] / (factor * reps[f"{w1}x{c1}"][r]["query_sec"]), 3)
         for r in range(REPS)
     ]
-    med_b = sorted(pair_b)[REPS // 2]
-    med_q = sorted(pair_q)[REPS // 2]
+    # true median (averages the middle pair for even rep counts — taking the
+    # upper-middle element would bias the headline efficiency upward)
+    import statistics
+
+    med_b = round(statistics.median(pair_b), 3)
+    med_q = round(statistics.median(pair_q), 3)
+    iqr = lambda xs: (  # noqa: E731
+        round(statistics.quantiles(xs, n=4)[0], 3),
+        round(statistics.quantiles(xs, n=4)[2], 3),
+    ) if len(xs) >= 4 else (min(xs), max(xs))
+    iqr_b, iqr_q = iqr(pair_b), iqr(pair_q)
+
+    # per-stage walls + paired efficiencies (locates any non-scaling seconds)
+    lo_key, hi_key = f"{w0}x{c0}", f"{w1}x{c1}"
+    stage_rows = []
+    stage_json = {}
+    for s in STAGES:
+        lo_all = [reps[lo_key][r]["stages"].get(s, 0.0) for r in range(REPS)]
+        hi_all = [reps[hi_key][r]["stages"].get(s, 0.0) for r in range(REPS)]
+        pairs = [
+            round(lo_all[r] / (factor * hi_all[r]), 3) if hi_all[r] > 0 else None
+            for r in range(REPS)
+        ]
+        ok = [p for p in pairs if p is not None]
+        med = round(statistics.median(ok), 3) if ok else None
+        stage_json[s] = {"lo_all": lo_all, "hi_all": hi_all, "paired": pairs, "paired_median": med}
+        stage_rows.append(
+            f"| {s} | {round(statistics.median(lo_all), 2)} | "
+            f"{round(statistics.median(hi_all), 2)} | {med} |"
+        )
+    stage_table = (
+        "| build stage | N median sec | 4N median sec | paired eff median |\n"
+        "|---|---|---|---|\n" + "\n".join(stage_rows)
+    )
 
     md = f"""# BENCH — scaling evidence (N vs 4N executors, separate JVMs)
 
@@ -252,10 +294,15 @@ for a disjoint doc set). Result sets identical at both
 levels ({lo['n_results']} rows; md5 over sorted (qid, rank, doc_id, score) equal:
 {lo['results_hash'] == hi['results_hash']}) — rank parity holds at any cluster size.
 
-| metric | {w0}x{c0} (N) | {w1}x{c1} (4N) | speedup | best-of eff | paired per-round eff | paired median |
+| metric | {w0}x{c0} (N) | {w1}x{c1} (4N) | speedup | best-of eff | paired per-round eff | paired median [IQR] |
 |---|---|---|---|---|---|---|
-| index build (docs/sec) | {lo['index_docs_per_sec']} | {hi['index_docs_per_sec']} | {speedup_build:.2f}x | {eff_build:.3f} | {pair_b} | **{med_b:.3f}** |
-| query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | {hi['queries_per_sec']/lo['queries_per_sec']:.2f}x | {eff_query:.3f} | {pair_q} | **{med_q:.3f}** |
+| index build (docs/sec) | {lo['index_docs_per_sec']} | {hi['index_docs_per_sec']} | {speedup_build:.2f}x | {eff_build:.3f} | {pair_b} | **{med_b:.3f}** {iqr_b} |
+| query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | {hi['queries_per_sec']/lo['queries_per_sec']:.2f}x | {eff_query:.3f} | {pair_q} | **{med_q:.3f}** {iqr_q} |
+
+Per-stage build walls ({REPS} paired reps; the efficiency of each stage
+separately — locates any residual non-scaling seconds):
+
+{stage_table}
 
 Per-rep walls (simultaneous paired rounds, disjoint cpusets {slot_sets}):
 build N {lo['build_sec_all']} vs 4N {hi['build_sec_all']};
@@ -300,6 +347,9 @@ probe shows scaling near-linearly with process count.
                 "efficiency_query_paired": pair_q,
                 "efficiency_build_paired_median": med_b,
                 "efficiency_query_paired_median": med_q,
+                "efficiency_build_paired_iqr": iqr_b,
+                "efficiency_query_paired_iqr": iqr_q,
+                "build_stages": stage_json,
             },
             f,
             indent=1,

@@ -154,3 +154,58 @@ def test_parity_on_documents_table(spark, documents, pruned):
         np.testing.assert_allclose(
             [a[2] for a in actual], [e[1] for e in expected], atol=1e-9
         )
+
+
+def test_maxscore_head_term_decode_bound():
+    """True MaxScore term ordering: on a Zipf-pathological query (one head
+    term matching EVERY doc + one rare term), candidate generation must stop
+    before decoding the head term's posting blocks — decoded-block count stays
+    a small fraction of the matched-block count, while the top-k remains
+    exactly the brute-force ranking."""
+    from rustserini_spark.analysis import simple_tokenize_text
+    from rustserini_spark.operators.compress import block_upper_bound
+    from rustserini_spark.operators.index_build import _encode_segment_pdf, expected_idf
+    from rustserini_spark.operators.search import _DecodeCache, _shard_topk
+
+    n, k = 4096, 10
+    texts = [
+        "head" + (" rare rare rare" if i % 200 == 7 else "") for i in range(n)
+    ]
+    # block_size=8 -> the head term alone spans n/8 = 512 blocks
+    pdf = _encode_segment_pdf(
+        simple_tokenize_text, np.arange(n, dtype=np.int64), pd.Series(texts),
+        seg=0, block_size=8, n_shards=1,
+    )
+    corpus = {i: t for i, t in enumerate(texts)}
+    expected = bm25_rank(corpus, "head rare", k=k, analyzer="simple")
+
+    # mirror shard_search's prologue
+    terms_arr = pdf["term"].to_numpy()
+    uniq_terms, term_idx = np.unique(terms_arr, return_inverse=True)
+    n_rare = sum("rare" in t for t in texts)
+    idf_by = {"head": expected_idf(n, n), "rare": expected_idf(n_rare, n)}
+    avgdl = sum(len(simple_tokenize_text(t)) for t in texts) / n
+    k1, b = 0.9, 0.4
+    idf = np.array([idf_by[t] for t in terms_arr])
+    max_impact = block_upper_bound(
+        pdf["max_tf"].to_numpy(), pdf["min_dl"].to_numpy(), idf, k1, b, avgdl
+    )
+    rows = np.flatnonzero(np.isin(terms_arr, ["head", "rare"]))
+    qtf_row = np.ones(rows.size)
+    cache = _DecodeCache()
+    docs, scores = _shard_topk(
+        rows, qtf_row, list(pdf["postings_bin"]),
+        pdf["n_docs"].to_numpy(dtype=np.int64),
+        pdf["first_doc"].to_numpy(dtype=np.int64),
+        pdf["last_doc"].to_numpy(dtype=np.int64),
+        max_impact, idf, term_idx, uniq_terms.size, k, k1, b, avgdl, cache,
+    )
+    assert list(docs) == [e[0] for e in expected]
+    np.testing.assert_allclose(scores, [e[1] for e in expected], atol=1e-9)
+    n_matched_blocks = rows.size
+    assert n_matched_blocks > 500
+    # rare blocks (~3) + exact-verify decodes of head blocks intersecting the
+    # ~21 candidates (<= 21) -- far below the 512+ matched blocks
+    assert cache.n_blocks_decoded <= n_matched_blocks // 8, (
+        cache.n_blocks_decoded, n_matched_blocks,
+    )

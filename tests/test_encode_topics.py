@@ -128,3 +128,50 @@ def test_topics_tsv_and_jsonl(spark, tmp_path):
     assert {r.qid: r.query for r in queries_from_topics(tj, "description").collect()}[
         "q1"
     ] == "longer narrative"
+
+
+# --------------------------------------------------- golden-vector harness --
+
+
+def test_encoder_golden_vectors_first10():
+    """Golden-vector gate mirroring the reference's encoder test shape
+    (/root/reference/tests/encoder_test.rs:17-88: fixed texts+titles, assert
+    the first 10 dims at rounded precision, cls vs mean pooling). Locks the
+    A3/A4 contract against the deterministic stand-in — a real transformer
+    encoder drops into this exact harness by swapping HashingEncoder for a
+    model wrapper and replacing the golden literals with the model's outputs
+    (e.g. encoder_test.rs's bert-base-uncased first-10 dims)."""
+    import numpy as np
+
+    from rustserini_spark.operators.encode import HashingEncoder
+
+    enc = HashingEncoder(dim=64)
+    texts = ["Hello, I am a sentence!", "And another sentence."]
+    titles = ["Title 1", "Title 2"]
+
+    cls = enc.encode_batch(texts, titles, "cls")
+    mean = enc.encode_batch(texts, titles, "mean")
+    assert cls.shape == mean.shape == (2, 64)
+
+    golden_cls_0 = [
+        -0.146532, 0.070951, -0.0304, -0.021121, -0.041583,
+        0.104079, -0.080362, 0.029707, 0.215531, -0.277913,
+    ]
+    golden_mean_0 = [
+        -0.119746, 0.110012, 0.168667, -0.00134, 0.064243,
+        -0.051021, -0.046244, -0.055679, 0.13737, -0.085442,
+    ]
+    golden_mean_1 = [
+        -0.110326, 0.023717, -0.072105, -0.010615, -0.005522,
+        0.081887, -0.017124, 0.052846, 0.225029, -0.098997,
+    ]
+    np.testing.assert_allclose(cls[0, :10], golden_cls_0, atol=5e-7)
+    np.testing.assert_allclose(mean[0, :10], golden_mean_0, atol=5e-7)
+    np.testing.assert_allclose(mean[1, :10], golden_mean_1, atol=5e-7)
+    # structural cls-vs-mean distinction (auto.rs:176-199): cls embeds ONLY
+    # the first token — both docs share first token "Title", so their cls
+    # vectors coincide while their mean vectors differ
+    np.testing.assert_allclose(cls[0], cls[1], atol=0)
+    assert not np.allclose(mean[0], mean[1])
+    # rows are L2-normalized (auto.rs:200-206)
+    np.testing.assert_allclose(np.linalg.norm(mean, axis=1), 1.0, atol=1e-6)

@@ -22,9 +22,23 @@ def media(spark):
     return spark.createDataFrame(rows, "media_id long, media binary").persist()
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+def test_decode_soft_import_gating():
+    """With no codec lib the kernel raises the clearly-marked stub error; with
+    Pillow importable the same call decodes real pixels (soft-import)."""
+    from rustserini_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff")
+    else:  # pragma: no cover - runs only where Pillow is provisioned
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+        arr = decode_image(buf.getvalue())
+        assert arr.shape == (4, 4, 3) and arr[0, 0, 0] == 255
 
 
 def test_fake_features_deterministic():
@@ -52,11 +66,32 @@ def test_extract_features_partitioning_independent(spark, media):
 
 
 def test_real_decode_gated(spark, media):
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PythonException
+    """use_real_decode=True raises without a codec lib; with Pillow present
+    the SAME pipeline yields real pixel features (no fake fallback)."""
+    from rustserini_spark.operators.multimodal import HAVE_PIL
 
-    with pytest.raises((PythonException, Py4JJavaError, Exception)):
-        extract_features(media, use_real_decode=True).collect()
+    if not HAVE_PIL:
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError, Exception)):
+            extract_features(media, use_real_decode=True).collect()
+    else:  # pragma: no cover - runs only where Pillow is provisioned
+        out = extract_features(_png_media(spark), use_real_decode=True).collect()
+        assert all(len(r.features) == FEATURE_DIM for r in out)
+
+
+def _png_media(spark):  # pragma: no cover - only used when Pillow exists
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16), (i * 60, 0, 0)).save(buf, format="PNG")
+        rows.append((i, buf.getvalue()))
+    return spark.createDataFrame(rows, "media_id long, media binary")
 
 
 def test_metadata_col(spark, media):
@@ -86,11 +121,29 @@ def test_resize_images_plumbing(spark, media):
 
 
 def test_resize_real_decode_gated(spark, media):
-    import pytest as _pt
-    from rustserini_spark.operators.multimodal import resize_images
+    from rustserini_spark.operators.multimodal import HAVE_PIL, resize_images
 
-    with _pt.raises(Exception):
-        resize_images(media, 8, 8, use_real_decode=True).collect()
+    if not HAVE_PIL:
+        with pytest.raises(Exception):
+            resize_images(media, 8, 8, use_real_decode=True).collect()
+    else:  # pragma: no cover - runs only where Pillow is provisioned
+        out = resize_images(_png_media(spark), 8, 8, use_real_decode=True).collect()
+        assert all(r.width == 8 and r.height == 8 and len(bytes(r.media)) > 0 for r in out)
+
+
+def test_pixel_features_kernel():
+    """The real-decode feature kernel itself is testable without a codec lib:
+    4x4 grid means over a synthetic pixel array."""
+    import numpy as np
+
+    from rustserini_spark.operators.multimodal import pixel_features
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    arr[:4, :4] = 255  # top-left quadrant white
+    f = pixel_features(arr)
+    assert len(f) == FEATURE_DIM
+    assert f[0] == pytest.approx(1.0) and f[1] == pytest.approx(1.0)
+    assert f[15] == pytest.approx(0.0)
 
 
 def test_sample_video_frames(spark):

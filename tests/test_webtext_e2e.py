@@ -91,6 +91,36 @@ def test_hash_bucket_docmap_dense_unique_parallelism_independent(spark, webtext)
     assert [d for d, _ in inv] == list(range(n))
 
 
+def test_hash_bucket_docmap_determinism_large_p(spark, webtext):
+    """Bucket count is a BUILD parameter: at p=4096 (buckets >> partitions and
+    >> docs — many empty buckets, several buckets per task) ids are still
+    dense 0..n-1 and identical across input partitionings."""
+    from rustserini_spark.operators.webtext import _bucket_offsets, hash_bucket_docmap
+
+    corpus = webtext.filter(F.col("lang") == "en")
+    for p in (64, 4096):
+        offsets, n = _bucket_offsets(corpus, p)
+        dm1 = {r.url: r.doc_id for r in hash_bucket_docmap(corpus, p, offsets).collect()}
+        dm2 = {
+            r.url: r.doc_id
+            for r in hash_bucket_docmap(corpus.repartition(7), p, offsets).collect()
+        }
+        assert dm1 == dm2 and sorted(dm1.values()) == list(range(n))
+
+
+def test_auto_id_buckets_policy():
+    """Default scales with corpus size so per-task docid sorts stay ~1M urls:
+    64 at small scale, n/2^20 (pow2-rounded) at web scale."""
+    from rustserini_spark.operators.webtext import auto_id_buckets
+
+    assert auto_id_buckets(0) == 64
+    assert auto_id_buckets(1_920_000) == 64
+    assert auto_id_buckets(1 << 30) == 1024  # 1B docs -> 1024 buckets
+    assert auto_id_buckets((1 << 40) + 1) == 2 << 20  # 10^12 docs -> ~2M buckets
+    # ~0.5M docs per bucket minimum at the pow2 rounding boundary
+    assert auto_id_buckets(65 << 20) == 128
+
+
 @pytest.fixture(scope="module")
 def wt_index(spark, webtext):
     wt = index_webtext(spark, webtext, lang="en", block_size=16, seg_docs=64)
