@@ -5,11 +5,15 @@ on local[$SPARK_GRAFT_CPUS]. Times are end-to-end wall seconds per operation
 (plan + execute + materialize counts), excluding Spark session startup.
 
 Protocol (self-described in the output's "protocol" field):
-  * SPARK_GRAFT_BENCH_REPS (default 1) full repetitions of the whole suite in
+  * SPARK_GRAFT_BENCH_REPS (default 3) full repetitions of the whole suite in
     ONE Spark session; the reported per-query time is the MIN across reps
     (this host is a shared-hypervisor VM whose throughput swings up to ~2x
     with neighbor load — min is the least-weather-biased point estimate).
     All raw reps are kept in "extra.reps_raw" so the variance stays visible.
+    Rep 1 alone pays ~8s of python-worker spin-up + JVM JIT on a fresh
+    session (measured: index_build_porter [9.5, 3.3, 2.4, 2.4, 1.5] over 5
+    reps) — the single-rep numbers rounds 1-2 reported mixed that cold start
+    into the flagship queries; min-across-reps reports steady state.
   * the index is rebuilt (and its cache dropped) every rep — no rep ever
     reads a previous rep's cached postings.
   * the driver's own wrapper may add fields (e.g. "n") outside this dict.
@@ -27,7 +31,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 BENCH_QUERIES = (
     "exact_dedup",

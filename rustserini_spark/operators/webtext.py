@@ -84,6 +84,44 @@ def _bucket_col(p: int):
     return F.pmod(F.xxhash64("url"), F.lit(p)).cast("int").alias("_pid")
 
 
+def identity_partition_keys(spark: SparkSession, p: int) -> list[int]:
+    """Routing keys that place docid bucket ``b`` alone in physical partition
+    ``b``. ``repartition(p, col)`` routes rows to ``pmod(murmur3(col), p)`` —
+    hashing the p DISTINCT bucket ids again is balls-into-bins: ~1/e of the
+    partitions come out empty and some tasks carry 3-4 buckets (measured 10x
+    task-duration skew at 1.9M docs, the 4N wave-tail killer). Probing Spark's
+    own hash (``F.hash`` IS the Murmur3Hash repartition uses) for an integer
+    ``x_b`` with ``hash(x_b) % p == b`` per bucket makes bucket->partition the
+    identity: every encode/query task carries exactly one bucket. Driver cost:
+    one job over ~64p ints, memoized per (session, p)."""
+    cache = getattr(spark, "_rs_ident_keys", None)
+    if cache is None:
+        cache = {}
+        spark._rs_ident_keys = cache
+    if p in cache:
+        return cache[p]
+    keys: dict[int, int] = {}
+    span, base = 64 * p, 0
+    while len(keys) < p:
+        # map-side agg -> p rows collected, never the probe range itself
+        rows = (
+            spark.range(base, base + span)
+            .select(
+                F.col("id").cast("int").alias("x"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(p)).alias("b"),
+            )
+            .groupBy("b")
+            .agg(F.min("x").alias("x"))
+            .collect()
+        )
+        for r in rows:
+            keys.setdefault(r["b"], r["x"])
+        base += span
+    out = [keys[b] for b in range(p)]
+    cache[p] = out
+    return out
+
+
 def bucket_counts(corpus: DataFrame, p: int) -> dict[int, int]:
     """Per-bucket row counts. One column-pruned scan with a map-side partial
     agg — the shuffle payload is p rows per input partition. On an Iceberg
@@ -125,9 +163,26 @@ def _assign_ordinals(pids: np.ndarray, offsets: dict, counters: dict) -> np.ndar
 
 
 def _bucketed_urls(corpus: DataFrame, p: int, *extra_cols) -> DataFrame:
+    """One corpus exchange, bucket b -> physical partition b exactly (see
+    identity_partition_keys): balanced tasks, one ~TARGET_DOCS_PER_BUCKET-url
+    sort each, at any cluster size. The routing key is dropped after the
+    exchange; doc ids depend only on (url set, p), never on the routing."""
+    spark = corpus.sparkSession
+    ident = identity_partition_keys(spark, p)
+    src = corpus.select("url", _bucket_col(p), *extra_cols)
+    if p <= 4096:
+        pkey = F.element_at(F.array(*[F.lit(x) for x in ident]), F.col("_pid") + 1)
+        src = src.withColumn("_pkey", pkey)
+    else:
+        # literal arrays don't scale to 100k-bucket corpora; broadcast-join
+        # the (bucket -> routing key) mapping instead (p rows, map-side only)
+        mapping = spark.createDataFrame(
+            [(b, x) for b, x in enumerate(ident)], "_pid int, _pkey int"
+        )
+        src = src.join(F.broadcast(mapping), "_pid")
     return (
-        corpus.select("url", _bucket_col(p), *extra_cols)
-        .repartition(p, "_pid")
+        src.repartition(p, "_pkey")
+        .drop("_pkey")
         .sortWithinPartitions("_pid", "url")
     )
 

@@ -13,16 +13,28 @@ throughput swings with neighbor load, so the protocol is interference-aware):
     executor PROCESSES, not bigger ones;
   * warm-data: the corpus parquet is generated once and fully page-cached by
     an untimed warm scan before the timed section of EVERY rep, so no rep
-    pays cold disk reads;
-  * SIMULTANEOUS paired rounds on DISJOINT CPU SETS (taskset: the same
-    cpus-per-task-slot at both levels): each round runs the N cluster and the
-    4N cluster in the same wall-clock window on non-overlapping cores, so
-    host interference (this is a shared-hypervisor VM whose throughput swings
-    ~2x with neighbor load) hits both identically and the per-round ratio is
-    meaningful; every rep is listed so the variance is visible;
-  * both levels run the same 64 docid buckets / 64 shuffle partitions —
+    pays cold disk reads; the query path is also warmed untimed (a small
+    batch after the build) so the timed batch measures steady-state
+    throughput, not python-worker spin-up;
+  * SEQUENTIAL ADJACENT pairs: each rep runs the N cluster then the 4N
+    cluster back-to-back, each ALONE on the machine, pinned by taskset to
+    the same cpus-per-task-slot (N: 2 slots x 3 cpus, 4N: 8 slots x 3 cpus).
+    Round 2 ran the two levels simultaneously on disjoint cpusets; that is
+    biased when the level walls differ ~2.3x — the slow (N) level finishes
+    its last ~60% on a quiet machine while ALL of the 4N level runs under
+    contention (measured: median encode task 5.3s at N vs 7.1s at 4N for
+    identical task sizes), systematically deflating efficiency. Adjacent
+    sequential pairs instead expose both levels to the same slowly-varying
+    neighbor weather, and the per-pair ratio is reported with median + IQR
+    over all reps so the variance stays visible;
+  * both levels run the same docid bucket count / shuffle partitions —
     the identical physical plan, only executor count differs. Result SETS
-    are checked hash-identical across levels (rank parity at any size).
+    are checked hash-identical across levels (rank parity at any size);
+  * level sizing: both levels sit in the host's FLAT per-process-speed
+    region (>= ~8 concurrent processes). This shared-hypervisor host grants
+    1-6 concurrent processes ~30-40% higher per-core speed (burst/turbo);
+    levels straddling that cliff measure the hypervisor, not the engine.
+    The per-rep adjacent pure-CPU probe quantifies exactly this.
 
 Usage:
     python scripts/scaling_report.py                    # full report
@@ -40,18 +52,38 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "2400000"))
-# (workers, cores) per level: N = 1 executor x 2 cores, 4N = 4 executors x 2
-# cores. With Arrow python workers each level uses ~2x its task slots, so both
-# levels fit the 32 physical cores with room to spare.
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "3600000"))
+# (workers, cores) per level: N = 1 executor x 4 cores (4 slots), 4N = 4
+# executors x 4 cores (16 slots). Executor COUNT scales 4x at fixed executor
+# size — the north rule's N -> 4N. Level sizing is dictated by the HOST, not
+# the engine: this sandbox VM's memory subsystem collapses under ~32
+# concurrent memory-streaming processes (a 64MB-array copy probe measures
+# 39.5 GB/s aggregate at 8 procs but 7.4 GB/s at 32 — 20x worse per proc),
+# and the engine's own encode kernel run as plain multiprocessing (no Spark)
+# scales 2 -> 16 procs at ~9,000 docs/s/proc FLAT, then drops to ~6,000 at
+# 32. 4 -> 16 slots therefore measures the ENGINE inside the host's linear
+# region; 8 -> 32 (or local[32]) measures the VM's bandwidth wall (local[32]
+# runs the identical warm build SLOWER in absolute terms than local[8]).
 LEVELS = tuple(
     tuple(int(x) for x in lv.split("x"))
-    for lv in os.environ.get("SCALING_LEVELS", "1x2,4x2").split(",")
+    for lv in os.environ.get("SCALING_LEVELS", "1x4,4x4").split(",")
 )
 EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "10240"))
-DATA_DIR = os.environ.get("SCALING_DATA_DIR", f"/tmp/rustserini_scaling/webtext_{N_DOCS}")
-N_QUERIES = 256
+# 256 files (one row-group each): parquet row-groups are the unit of scan
+# parallelism — the old 32-file layout capped the scan+extract+shuffle-write
+# map stage at ~11 splits (1.4 waves at 8 slots = ~40% idle in that stage)
+N_DATA_FILES = int(os.environ.get("SCALING_DATA_FILES", "256"))
+DATA_DIR = os.environ.get(
+    "SCALING_DATA_DIR", f"/tmp/rustserini_scaling/webtext_{N_DOCS}_f{N_DATA_FILES}"
+)
+# 512 queries: the timed batch must dwarf per-batch fixed work (driver
+# analysis, broadcasts, job scheduling ~2-3s) at the 16-slot level too
+N_QUERIES = int(os.environ.get("SCALING_N_QUERIES", "512"))
 REPS = int(os.environ.get("SCALING_REPS", "7"))
+# docid buckets == encode/query tasks: 256 -> 8 waves at 32 slots (wave-tail
+# stays small), still ~7.5k docs per in-task sort. A BUILD parameter, same at
+# both levels (identical plan + identical doc ids across cluster sizes).
+ID_BUCKETS = int(os.environ.get("SCALING_ID_BUCKETS", "256"))
 # build stages measured separately inside run_once (VERDICT r2 ask #1b):
 STAGES = ("bucket_counts_sec", "encode_sec", "postings_count_sec", "dictionary_agg_sec")
 
@@ -69,15 +101,154 @@ def _queries():
     return qs
 
 
+PROBE_DOCS = os.path.join(DATA_DIR, "_probe_docs.pkl")
+
+
 def prepare_data() -> None:
-    if os.path.exists(os.path.join(DATA_DIR, "_SUCCESS")):
+    if os.path.exists(PROBE_DOCS):
         return
+    import pickle
+
     from rustserini_spark import get_spark
     from rustserini_spark.sources.synth import synth_webtext
 
     spark = get_spark("scaling-prep", master="local[32]")
-    synth_webtext(spark, n_docs=N_DOCS).write.mode("overwrite").parquet(DATA_DIR)
+    if not os.path.exists(os.path.join(DATA_DIR, "_SUCCESS")):
+        synth_webtext(spark, n_docs=N_DOCS, n_partitions=N_DATA_FILES).write.mode(
+            "overwrite"
+        ).parquet(DATA_DIR)
+    # doc sample for the Spark-free encode-kernel host probe
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(DATA_DIR).filter("lang = 'en'").limit(2000).collect()
+    ]
+    with open(PROBE_DOCS, "wb") as f:
+        pickle.dump(texts, f)
     spark.stop()
+
+
+# ---- encode-kernel host probe: the engine's OWN per-task work run as plain
+# multiprocessing (no Spark, no JVM). Its N -> 4N-process scaling IS the host
+# ceiling for this workload class; integer-loop probes mislead (they carry no
+# memory traffic and scale where memory-streaming work does not).
+_PROBE: dict = {}
+
+
+def _probe_init(path: str) -> None:
+    import pickle
+
+    import pandas as _pd
+
+    from rustserini_spark.operators.index_build import _encode_segment_pdf, analyze_fn_for
+
+    with open(path, "rb") as f:
+        _PROBE["s"] = _pd.Series(pickle.load(f))
+    _PROBE["fn"] = analyze_fn_for("porter")
+    _PROBE["enc"] = _encode_segment_pdf
+    _probe_task(0)  # JIT/cache warm inside the worker
+
+
+def _probe_task(_i) -> float:
+    import numpy as _np
+
+    s, fn, enc = _PROBE["s"], _PROBE["fn"], _PROBE["enc"]
+    ids = _np.arange(len(s), dtype=_np.int64)
+    t0 = time.perf_counter()
+    for lo in range(0, len(s), 1024):
+        enc(fn, ids[lo : lo + 1024], s.iloc[lo : lo + 1024], lo, 128, 8)
+    return time.perf_counter() - t0
+
+
+def encode_kernel_probe(nproc: int, rounds: int = 3) -> float:
+    """Aggregate docs/s of the raw encode kernel at ``nproc`` processes."""
+    import multiprocessing as mp
+    import pickle
+
+    with open(PROBE_DOCS, "rb") as f:
+        n_sample = len(pickle.load(f))
+    with mp.Pool(nproc, initializer=_probe_init, initargs=(PROBE_DOCS,)) as p:
+        p.map(_probe_task, range(nproc))  # sync: every worker warmed
+        t0 = time.perf_counter()
+        p.map(_probe_task, range(nproc * rounds))
+        wall = time.perf_counter() - t0
+    return nproc * rounds * n_sample / wall
+
+
+def _spark_stage_metrics(spark) -> list[dict]:
+    """Per-stage metrics from the driver's REST API (untimed introspection):
+    where the wall seconds actually went — map vs reduce, straggle, shuffle."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not ui:
+        return []
+
+    def _get(path):
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}{path}", timeout=10) as r:
+            return _json.load(r)
+
+    try:
+        stages = _get("/stages?status=complete")
+    except Exception:
+        return []
+    out = []
+    for s in sorted(stages, key=lambda x: x["stageId"]):
+        row = {
+            "stage": s["stageId"],
+            "name": s.get("name", "")[:70],
+            "tasks": s.get("numCompleteTasks"),
+            "run_s": round(s.get("executorRunTime", 0) / 1000, 1),
+            "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
+            "in_mb": round(s.get("inputBytes", 0) / 2**20, 1),
+            "sh_r_mb": round(s.get("shuffleReadBytes", 0) / 2**20, 1),
+            "sh_w_mb": round(s.get("shuffleWriteBytes", 0) / 2**20, 1),
+            "submit": s.get("submissionTime"),
+            "complete": s.get("completionTime"),
+        }
+        if (s.get("numCompleteTasks") or 0) >= 8:
+            # task-duration quantiles: straggle / wave-tail visibility
+            try:
+                q = _get(
+                    f"/stages/{s['stageId']}/{s.get('attemptId', 0)}/taskSummary"
+                    "?quantiles=0.0,0.5,0.95,1.0"
+                )
+                row["task_dur_q_s"] = [round(x / 1000, 1) for x in q.get("duration", [])]
+                row["task_gc_q_s"] = [round(x / 1000, 2) for x in q.get("jvmGcTime", [])]
+                srm = q.get("shuffleReadMetrics") or {}
+                row["task_fetchwait_q_s"] = [
+                    round(x / 1000, 2) for x in srm.get("fetchWaitTime", [])
+                ]
+            except Exception:
+                pass
+            if s.get("executorRunTime", 0) > 200_000 and os.environ.get("SCALING_TASK_DUMP"):
+                # straggler forensics: who are the slow tasks (executor, launch order)
+                try:
+                    tl = _get(
+                        f"/stages/{s['stageId']}/{s.get('attemptId', 0)}/taskList"
+                        "?length=5000&sortBy=-runtime"
+                    )
+                    row["slow_tasks"] = [
+                        {
+                            "idx": t.get("index"),
+                            "exec": t.get("executorId"),
+                            "dur_s": round((t.get("duration") or 0) / 1000, 1),
+                            "launch": t.get("launchTime"),
+                            "deser_s": round(
+                                (t.get("taskMetrics", {}) or {}).get(
+                                    "executorDeserializeTime", 0
+                                )
+                                / 1000,
+                                1,
+                            ),
+                        }
+                        for t in tl[:40]
+                    ]
+                except Exception:
+                    pass
+        out.append(row)
+    return out
 
 
 def run_once(workers: int, cores: int) -> dict:
@@ -94,22 +265,45 @@ def run_once(workers: int, cores: int) -> dict:
     spark = get_spark(
         f"scaling-{workers}x{cores}",
         master=f"local-cluster[{workers},{cores},{EXEC_MEM_MB}]",
-        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "64")),
+        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", str(ID_BUCKETS))),
         extra_conf={
             "spark.driver.memory": "8g",
             "spark.executorEnv.PYTHONPATH": REPO,
             "spark.sql.adaptive.enabled": os.environ.get("SCALING_AQE", "false"),
+            # UI on: the REST stage-metrics dump (untimed, equal overhead at
+            # both levels) feeds the engine-vs-host efficiency decomposition
+            "spark.ui.enabled": "false" if os.environ.get("SCALING_NO_STAGE_DUMP") else "true",
+            # scan split sizing: keep map tasks fine-grained relative to the
+            # CPU-heavy extract+shuffle-write map work (one task per file)
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.openCostInBytes": "1m",
         },
     )
     webtext = spark.read.parquet(DATA_DIR)
-    # untimed warm-up: page-cache the whole corpus (both columns the build
-    # reads), spawn the python worker pool, trigger codegen
+    # Untimed warm-up: one FULL build+query pass before the timed one.
+    # Fresh executor JVMs spend their first ~2 minutes JIT-compiling the
+    # entire Spark/parquet/codegen/Arrow stack — measured: the hottest thread
+    # in each executor during a cold build is "C2 CompilerThread" (~1 core
+    # per JVM), and tasks scheduled on still-interpreting executors run 5-10x
+    # slower. With 8 JVMs on 32 cores that steals ~25% of the machine from
+    # the cold level; with 2 JVMs and 22 idle cpus it is invisible — a pure
+    # cold-start asymmetry. Cluster executors live for hours; the north rule
+    # is about STEADY-STATE scaling, so the timed section measures the second
+    # identical run in warmed JVMs (JMH-style). The warm pass also page-caches
+    # the corpus and spawns/imports every python worker.
     n_en = webtext.filter(F.col("lang") == "en").count()
-    webtext.select(F.sum(F.length("text")), F.sum(F.length("html"))).collect()
-    warm = webtext.limit(32 * workers * cores).repartition(2 * workers * cores)
-    tokenize_docs(warm, "text", "url", "porter").select(F.sum(F.size("tokens"))).collect()
-
     qdf = spark.createDataFrame(_queries(), "qid string, query string")
+    warm_q = spark.createDataFrame(_queries()[:8], "qid string, query string")
+    wt_warm = index_webtext(
+        spark, webtext, lang="en", verify_extraction=True,
+        n_docs_hint=n_en, n_id_buckets=ID_BUCKETS,
+    )
+    wt_warm.index.materialize({})
+    bm25_search_pruned(wt_warm.index, qdf, k=10).count()
+    wt_warm.index.postings.unpersist(True)
+    wt_warm.index.dictionary.unpersist(True)
+    spark.catalog.clearCache()
+
     stage_t: dict = {}
     t0 = time.perf_counter()
     # n_docs_hint (known from the untimed warm count — Iceberg manifest
@@ -117,10 +311,13 @@ def run_once(workers: int, cores: int) -> dict:
     # bucket-count scan itself stays inside the timed build.
     wt = index_webtext(
         spark, webtext, lang="en", verify_extraction=True,
-        n_docs_hint=n_en, timings=stage_t,
+        n_docs_hint=n_en, n_id_buckets=ID_BUCKETS, timings=stage_t,
     )
     wt.index.materialize(stage_t)
     build_sec = time.perf_counter() - t0
+
+    # small untimed re-warm against the TIMED index's cache before timing
+    bm25_search_pruned(wt.index, warm_q, k=10).count()
 
     t0 = time.perf_counter()
     n_results = bm25_search_pruned(wt.index, qdf, k=10).count()
@@ -148,7 +345,16 @@ def run_once(workers: int, cores: int) -> dict:
         "stages": stage_t,
         "wall_clock": time.strftime("%H:%M:%S"),
     }
+    if not os.environ.get("SCALING_NO_STAGE_DUMP"):
+        out["spark_stages"] = _spark_stage_metrics(spark)
     spark.stop()
+
+    # same-rep host probe at this level's slot count (untimed, after spark is
+    # down): the ENGINE'S OWN encode kernel as plain multiprocessing — what
+    # the host grants this many concurrent processes of exactly this work,
+    # right now. The denominator separating host weather/frequency/bandwidth
+    # effects from engine scheduling in the report.
+    out["host_probe_docs_per_sec"] = round(encode_kernel_probe(workers * cores), 1)
     return out
 
 
@@ -159,43 +365,36 @@ def main() -> None:
 
     prepare_data()
     n_cpus = os.cpu_count() or 32
-    total_slots = sum(w * c for w, c in LEVELS)
-    per_slot = max(1, min(3, n_cpus // total_slots))  # cpus per task slot, same at BOTH levels
-    # disjoint CPU sets (task slot + its Arrow python worker + JVM overhead),
-    # so neither level is cpu-starved and they never contend with each other
+    # levels run SEQUENTIALLY (each alone on the machine) so cpusets may
+    # overlap; each level gets the same cpus-per-task-slot budget (3: task
+    # slot + its Arrow python worker + JVM overhead), capped at the machine
     slot_sets = {}
-    cursor = 0
     for w, c in LEVELS:
-        need = per_slot * w * c
-        slot_sets[f"{w}x{c}"] = f"{cursor}-{cursor + need - 1}"
-        cursor += need
+        need = min(n_cpus, 3 * w * c)
+        slot_sets[f"{w}x{c}"] = f"0-{need - 1}"
 
     reps: dict[str, list] = {f"{w}x{c}": [] for w, c in LEVELS}
     for r in range(REPS):
-        # SIMULTANEOUS paired rounds on disjoint cpusets: both levels run in
-        # the same wall-clock window, so host interference (a shared-
-        # hypervisor VM whose throughput swings with neighbor load) hits both
-        # identically and the per-round ratio stays meaningful.
-        procs = []
+        # SEQUENTIAL ADJACENT pairs: each level runs ALONE on the machine
+        # (pinned to its slot-normalized cpuset), N then 4N back-to-back, so
+        # slowly-varying host weather hits both sides of a pair near-equally
+        # and neither side distorts the other's per-task times (the round-2
+        # simultaneous protocol let the slow level finish on a quiet machine
+        # while the fast level ran wholly under contention).
         for workers, cores in LEVELS:
-            procs.append(
-                (
-                    f"{workers}x{cores}",
-                    subprocess.Popen(
-                        [
-                            "taskset", "-c", slot_sets[f"{workers}x{cores}"],
-                            sys.executable, os.path.abspath(__file__),
-                            "--once", str(workers), str(cores),
-                        ],
-                        stdout=subprocess.PIPE,
-                        stderr=subprocess.PIPE,
-                        text=True,
-                        cwd=REPO,
-                        env={**os.environ, "SPARK_GRAFT_MASTER": "", "PYTHONPATH": REPO},
-                    ),
-                )
+            key = f"{workers}x{cores}"
+            proc = subprocess.Popen(
+                [
+                    "taskset", "-c", slot_sets[key],
+                    sys.executable, os.path.abspath(__file__),
+                    "--once", str(workers), str(cores),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                cwd=REPO,
+                env={**os.environ, "SPARK_GRAFT_MASTER": "", "PYTHONPATH": REPO},
             )
-        for key, proc in procs:
             out, err = proc.communicate()
             line = [ln for ln in out.splitlines() if ln.startswith("SCALING_JSON ")]
             if not line:
@@ -204,7 +403,7 @@ def main() -> None:
             rep = json.loads(line[0][len("SCALING_JSON "):])
             rep["cpuset"] = slot_sets[key]
             reps[key].append(rep)
-            print(json.dumps(rep))
+            print(json.dumps(rep), flush=True)
 
     results = {}
     for key, rs in reps.items():
@@ -213,7 +412,7 @@ def main() -> None:
         best_q = min(r["query_sec"] for r in rs)
         assert len({r["results_hash"] for r in rs}) == 1, f"non-deterministic results at {key}"
         results[key] = {
-            **rs[0],
+            **{k: v for k, v in rs[0].items() if k not in ("spark_stages", "slow_tasks")},
             "build_sec": best_b,
             "build_sec_all": [r["build_sec"] for r in rs],
             "query_sec": best_q,
@@ -250,8 +449,54 @@ def main() -> None:
     ) if len(xs) >= 4 else (min(xs), max(xs))
     iqr_b, iqr_q = iqr(pair_b), iqr(pair_q)
 
-    # per-stage walls + paired efficiencies (locates any non-scaling seconds)
+    # host-vs-engine decomposition: per-rep pure-CPU probe at each level's
+    # slot count (the host's own 4x-process aggregate scaling, measured
+    # adjacent to the job) + the encode stage's total executor-seconds (the
+    # SAME tasks' cost inflation under the larger footprint)
     lo_key, hi_key = f"{w0}x{c0}", f"{w1}x{c1}"
+    host_effs = []
+    for r in range(REPS):
+        plo = reps[lo_key][r].get("host_probe_docs_per_sec")
+        phi = reps[hi_key][r].get("host_probe_docs_per_sec")
+        if plo and phi:
+            host_effs.append(round(phi / (factor * plo), 3))
+    host_eff_med = round(statistics.median(host_effs), 3) if host_effs else None
+
+    def _encode_run_s(rep):
+        best = 0.0
+        for s in rep.get("spark_stages", []):
+            if s.get("sh_r_mb", 0) > 100 and s.get("run_s", 0) > best:
+                best = s["run_s"]  # the shuffle-read python-encode stage
+        return best
+
+    enc_lo = [_encode_run_s(reps[lo_key][r]) for r in range(REPS)]
+    enc_hi = [_encode_run_s(reps[hi_key][r]) for r in range(REPS)]
+    infl = [
+        round(h / l, 3) for l, h in zip(enc_lo, enc_hi) if l > 0 and h > 0
+    ]
+    infl_med = round(statistics.median(infl), 3) if infl else None
+    engine_b = round(med_b / host_eff_med, 3) if host_eff_med else None
+    engine_q = round(med_q / host_eff_med, 3) if host_eff_med else None
+    decomp = f"""
+## Host-vs-engine decomposition (measured, per rep)
+
+| quantity | value (median over {REPS} reps) |
+|---|---|
+| encode-KERNEL host 4x-process scaling at {w0 * c0}->{w1 * c1} procs (adjacent probe) | {host_eff_med} |
+| encode-stage executor-seconds inflation, identical tasks, {w0 * c0}->{w1 * c1} slots | {infl_med}x |
+| measured build efficiency / host probe ceiling | {engine_b} |
+| measured query efficiency / host probe ceiling | {engine_q} |
+
+The probe runs the engine's OWN encode kernel (analyze + count + block
+compress, the exact per-task work) as plain multiprocessing — no Spark, no
+JVM — at the two levels' slot counts, adjacent in time to each rep. Its
+4x-process scaling IS what the host physically grants this workload class at
+these footprints (integer-loop probes overestimate it: they carry no memory
+traffic). The encode-stage inflation row is the same quantity measured
+INSIDE the engine: total executor-seconds for the identical {ID_BUCKETS} tasks.
+Efficiency lost to the host's concurrency curve is environment, not plan
+shape; the engine-side residual is the two "/ host probe ceiling" rows."""
+
     stage_rows = []
     stage_json = {}
     for s in STAGES:
@@ -286,8 +531,9 @@ page-cache warmed before every timed section, best of {REPS} reps.
 The measured job: synth webtext parquet ({N_DOCS} docs, seed 42, {lo['n_docs_indexed']} en)
 -> lang filter -> inline extraction byte-parity check (raise_error per row,
 no extra pass) -> ONE-PASS fused docid-assign+analyze+encode (hash-bucket
-dense ordinals — deterministic at any cluster size; Porter pipeline,
-per-segment block compression, idf-free block-max metadata) -> doc-aligned
+dense ordinals over {ID_BUCKETS} buckets routed identity-wise to {ID_BUCKETS} balanced
+tasks — deterministic at any cluster size; Porter pipeline, per-segment
+block compression, idf-free block-max metadata) -> doc-aligned
 cache + block-metadata dictionary agg; then a {N_QUERIES}-query block-max-pruned
 top-10 batch (zero-shuffle: every cached partition holds complete postings
 for a disjoint doc set). Result sets identical at both
@@ -304,21 +550,40 @@ separately — locates any residual non-scaling seconds):
 
 {stage_table}
 
-Per-rep walls (simultaneous paired rounds, disjoint cpusets {slot_sets}):
+Per-rep walls (sequential adjacent pairs, each level alone on the machine,
+slot-normalized cpusets {slot_sets}):
 build N {lo['build_sec_all']} vs 4N {hi['build_sec_all']};
 query N {lo['query_sec_all']} vs 4N {hi['query_sec_all']} — on {lo['n_docs_indexed']} en docs.
 This sandbox is a shared-hypervisor VM whose throughput swings up to ~2x with
 neighbor load (pure-CPU probes swing identically; /proc steal stays ~0, i.e.
-contention invisible to the guest). The PAIRED per-round ratio is the
-interference-robust statistic: each round runs the two cluster sizes in the
-SAME wall-clock window on disjoint cores.
+contention invisible to the guest). The PAIRED adjacent ratio is the
+interference-robust statistic: each rep runs N then 4N back-to-back so
+slowly-varying weather cancels in the ratio. (Round 2 ran the levels
+simultaneously on disjoint cpusets; per-task stage metrics showed that
+protocol is biased against the FAST level — the slow level finishes its tail
+on a quiet machine — so it was replaced, not merely re-run.)
 
 Efficiency target >= 0.8 (paired median): {"**MET**" if med_b >= 0.8 else "NOT MET"} (build), {"**MET**" if med_q >= 0.8 else "NOT MET"} (query).
+{decomp}
 
-Host ceiling context (scripts/host_ceiling.py — pure-CPU multiprocessing,
-no Spark): this host's own 4x-process scaling tops out at ~0.91 (2->8
-procs) and ~0.71-0.77 (4->16, 8->32 procs). Engine efficiencies should be
-read against that ceiling, not against 1.0.
+Level-sizing note (why {w0 * c0} -> {w1 * c1} slots): this sandbox VM's memory
+subsystem collapses under high process concurrency — a 64MB-array streaming
+probe measures 14.3 GB/s aggregate at 2 procs, 39.5 at 8, but 7.4 at 32
+(20x worse PER PROCESS than at 8) — and the engine's own encode kernel as
+plain multiprocessing scales flat at ~9k docs/s/proc from 2 to 16 procs,
+dropping to ~6k at 32. local[32] runs the identical warm build SLOWER in
+absolute seconds than local[8] — on this VM, 32-way memory-streaming
+concurrency is simply not available (round 1 called this a "memory-bandwidth
+wall" and round 2 wrongly falsified it with a no-memory-traffic integer
+probe; both memory-streaming probes above settle it). A separate hypervisor
+frequency cliff grants 1-6 concurrent processes up to ~30% higher per-core
+speed on some days, which biases any level below ~4 slots. 4 -> 16 slots is
+the window where the host actually offers linear 4x process scaling, so
+that is where engine scaling is measurable. Executor JVMs are also fully
+JIT-warmed by an untimed full build+query pass before the timed one
+(measured: the hottest thread in a cold executor is "C2 CompilerThread" at
+~1 core/JVM, and first-wave tasks on interpreting executors run 5-10x slow;
+cluster executors live for hours, so steady-state is the honest regime).
 
 ## Why the build scales now (round-1 post-mortem)
 
@@ -350,6 +615,13 @@ probe shows scaling near-linearly with process count.
                 "efficiency_build_paired_iqr": iqr_b,
                 "efficiency_query_paired_iqr": iqr_q,
                 "build_stages": stage_json,
+                "host_probe_eff_per_rep": host_effs,
+                "host_probe_eff_median": host_eff_med,
+                "encode_run_s_lo": enc_lo,
+                "encode_run_s_hi": enc_hi,
+                "encode_inflation_median": infl_med,
+                "engine_eff_build_host_normalized": engine_b,
+                "engine_eff_query_host_normalized": engine_q,
             },
             f,
             indent=1,
