@@ -602,6 +602,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return res.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF,nprobe approximate NN (recall < 1 by construction) — rows-only
+    driver check; recall >= 0.9 vs brute force asserted in
+    tests/test_similarity.py::test_ivf_ann_recall_clustered."""
+    from rustserini_spark.operators.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    res = ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID),
+        dim=dim, k=10, n_centroids=16, n_probe=8,
+    )
+    return res.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ------------------------------------------------------------- contract ----
 
 
@@ -640,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dot_topk": q_embedding_dot_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -678,4 +694,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dot_topk": _emb_topk_sql("list_inner_product(qvec, cvec)", "dot"),
         "embedding_neardup": _emb_neardup_sql(),
         # ann_lsh_topk: approximate — rows-only check.
+        # ann_ivf_topk: approximate — rows-only check.
     }

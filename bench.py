@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "fingerprint",
     "embedding_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "encode_knn",
 )
 

@@ -21,6 +21,11 @@ brute-force top-k (/root/reference/src/encode/vector_writer.rs:350,
   that single-probe loses as n_planes grows. Approximate by construction
   (recall<1), so the driver records a rows-only check; pytest asserts recall
   against brute force.
+* ``ivf_ann_topk`` — the FAISS IVF,nprobe composition: k-means codebook on a
+  deterministic sample (driver NumPy), one map-pass cell assignment, probe
+  the n_probe nearest cells per query via a broadcast join, exact re-rank in
+  the candidate set. The scale path when the corpus is written
+  cell-partitioned (probes become partition pruning).
 
 Float results crossing the DuckDB comparison boundary use the shared
 floor-based r4 (functions/parity.py) — `_r4_np` is its NumPy twin; rankings
@@ -234,8 +239,13 @@ def lsh_ann_topk(
     csig = lsh_signatures(corpus, dim, n_planes, seed, id_col, vec_col)
     cand = csig.join(F.broadcast(probes), "bucket").select("qid", "vec_id").distinct()
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
-    joined = cand.join(c, "vec_id")
+    return _rerank_cosine(cand.join(c, "vec_id"), qids, qmat, k)
 
+
+def _rerank_cosine(joined: DataFrame, qids: np.ndarray, qmat: np.ndarray, k: int) -> DataFrame:
+    """Exact cosine re-rank of (qid, vec_id, _vec) candidate rows against the
+    driver-side query matrix: one vectorized row-wise product per Arrow batch,
+    then the tiny global top-k window. Shared by the LSH and IVF ANN paths."""
     qidx = {int(q): i for i, q in enumerate(qids)}
     qn = np.sqrt((qmat * qmat).sum(axis=1))
 
@@ -259,6 +269,127 @@ def lsh_ann_topk(
     scored = joined.mapInPandas(score, "qid long, vec_id long, cos double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------- IVF ANN ---
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    seed: int = 42,
+    sample_mod: int | None = None,
+    n_iters: int = 5,
+    max_sample: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF codebook: k-means (Lloyd) on a hash-deterministic
+    corpus sample, trained driver-side in NumPy.
+
+    FAISS trains IVF codebooks on a bounded sample too (total corpus k-means
+    is never the practice at scale); ``sample_mod`` keeps the sample
+    corpus-size-independent — rows with xxhash64(id) % sample_mod == 0 are
+    the training set (pure function of the id set, independent of
+    partitioning/cluster size). ``sample_mod=None`` derives it from one count
+    so the collected sample stays <= ~``max_sample`` rows at ANY corpus size
+    (the driver never holds corpus-scale data). Empty cells re-seed from the
+    farthest sample point; a sample smaller than ``n_centroids`` yields one
+    centroid per sample point (a codebook cannot exceed its training set)."""
+    sample = corpus.select(id_col, vec_col)
+    if sample_mod is None:
+        sample_mod = max(1, sample.count() // max_sample)
+    if sample_mod > 1:
+        sample = sample.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = sample.orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("ivf_centroids: empty training sample")
+    m = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cent = m[np.sort(init)].copy()
+    for _ in range(n_iters):
+        # cosine assignment: normalize once, argmax dot
+        cn = np.linalg.norm(cent, axis=1, keepdims=True)
+        assign = np.argmax((m @ (cent / np.maximum(cn, 1e-12)).T), axis=1)
+        for c in range(cent.shape[0]):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:  # re-seed dead cell deterministically: farthest point
+                d = 1.0 - (m @ cent.T / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)).max(axis=1)
+                cent[c] = m[int(np.argmax(d))]
+    return cent
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest-centroid (cosine) cell per vector — one Arrow
+    map pass, one matmul per batch, no shuffle. At warehouse scale this is
+    materialized once and the vector table is written cell-partitioned, so a
+    probe reads only its cells' files (partition pruning)."""
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _stack(pdf[vec_col])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(mn @ cn.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"), "cell": cell})
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, "vec_id long, cell int")
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate NN — the classic FAISS IVF,nprobe composition in
+    DataFrame form (/root/reference/src/encode/vector_writer.rs:372-375 uses
+    the Flat index; IVF is its documented scale-out sibling):
+
+      1. codebook: k-means on a deterministic sample (driver NumPy);
+      2. invert: cell per corpus vector (one map pass, matmul per batch);
+      3. probe: each query's ``n_probe`` nearest cells (driver NumPy) become
+         a broadcast (qid, cell) relation;
+      4. candidates: one broadcast-hash join cell==cell — candidate count
+         ~ n_probe/n_centroids of the corpus per query, tunable recall/cost;
+      5. exact cosine re-rank inside the candidate set (shared _rerank_cosine).
+
+    Approximate by construction (recall < 1 when a true neighbor's cell is
+    outside the probe set); pytest gates recall against brute-force cosine."""
+    spark = corpus.sparkSession
+    qids, qmat = _collect_queries(queries, id_col, vec_col)
+    if qids.size == 0:
+        return spark.createDataFrame([], "qid long, vec_id long, cos double, rank int")
+    cent = ivf_centroids(corpus, dim, n_centroids, seed, sample_mod, id_col=id_col, vec_col=vec_col)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qn @ cn.T), axis=1)[:, : min(n_probe, cent.shape[0])]
+    probe_rows = [
+        (int(q), int(c)) for q, cells in zip(qids, order) for c in cells
+    ]
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+
+    cells = ivf_assignments(corpus, cent, id_col, vec_col)
+    cand = cells.join(F.broadcast(probes), "cell").select("qid", "vec_id")
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+    return _rerank_cosine(cand.join(c, "vec_id"), qids, qmat, k)
 
 
 def lsh_neardup_pairs(

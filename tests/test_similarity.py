@@ -8,6 +8,8 @@ from rustserini_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
     dot_topk,
+    ivf_ann_topk,
+    ivf_centroids,
     lsh_ann_topk,
     lsh_neardup_pairs,
 )
@@ -120,6 +122,41 @@ def test_lsh_ann_multiprobe_recall_at_12_planes(spark, clustered):
         hits += len(got.get(qid, set()) & exact)
         total += len(exact)
     assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_ann_recall_clustered(spark, clustered):
+    """IVF,nprobe on clustered data: with a codebook near the true cluster
+    count and 8/40 cells probed, recall vs brute-force cosine >= 0.9, and the
+    query vector itself is always found (its own cell is always probed)."""
+    df, ids, mat = clustered
+    queries = df.filter(F.col("vec_id") < 16)
+    approx = ivf_ann_topk(df, queries, dim=32, k=10, n_centroids=40, n_probe=8)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    hits = total = 0
+    for qid in range(16):
+        q = mat[qid]
+        exact = {int(v) for v, _ in _np_topk(ids, mat, q, 10, "cos")}
+        assert qid in got[qid]
+        hits += len(got.get(qid, set()) & exact)
+        total += len(exact)
+    assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_centroids_deterministic_across_partitioning(spark, clustered):
+    """The codebook is a pure function of the (id, vector) set + seed —
+    identical at any input partitioning (the property cluster-size rank
+    parity needs); a sample smaller than n_centroids yields one centroid per
+    sample point."""
+    df, _, _ = clustered
+    a = ivf_centroids(df, dim=32, n_centroids=16, sample_mod=4)
+    b = ivf_centroids(df.repartition(7), dim=32, n_centroids=16, sample_mod=4)
+    assert a.shape == (16, 32)
+    np.testing.assert_array_equal(a, b)
+    tiny = df.filter(F.col("vec_id") < 8)
+    c = ivf_centroids(tiny, dim=32, n_centroids=16)
+    assert c.shape == (8, 32)
 
 
 def test_lsh_neardup_composed_finds_planted_dups(spark, clustered):
