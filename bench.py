@@ -9,7 +9,9 @@ Protocol (self-described in the output's "protocol" field):
     ONE Spark session; the reported per-query time is the MIN across reps
     (this host is a shared-hypervisor VM whose throughput swings up to ~2x
     with neighbor load — min is the least-weather-biased point estimate).
-    All raw reps are kept in "extra.reps_raw" so the variance stays visible.
+    All raw reps are kept in BENCH/bench_reps.json (pointer in
+    "extra.reps_raw_file") so the variance stays visible without bloating
+    the headline JSON line past the driver's tail-capture window.
     Rep 1 alone pays ~8s of python-worker spin-up + JVM JIT on a fresh
     session (measured: index_build_porter [9.5, 3.3, 2.4, 2.4, 1.5] over 5
     reps) — the single-rep numbers rounds 1-2 reported mixed that cold start
@@ -99,7 +101,15 @@ def main() -> None:
         "index_docs_per_sec": round(n_docs / timings["index_build_porter"], 1)
     }
     if REPS > 1:
-        extra["reps_raw"] = reps
+        # Raw per-rep timings go to a SIDE FILE, not the headline line: round 3
+        # inlined them and the 3 full per-query dicts pushed the single JSON
+        # line past the driver's tail-capture window ("parsed": null — a bench
+        # the driver can't read is a bench that didn't happen).
+        reps_path = os.path.join(REPO, "BENCH", "bench_reps.json")
+        os.makedirs(os.path.dirname(reps_path), exist_ok=True)
+        with open(reps_path, "w") as f:
+            json.dump({"reps_raw": reps}, f, indent=1)
+        extra["reps_raw_file"] = "BENCH/bench_reps.json"
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

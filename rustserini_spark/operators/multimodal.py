@@ -140,11 +140,25 @@ def extract_features(
             if pdf.empty:
                 continue
             feats, hashes = [], []
-            for data in pdf[media_col]:
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(data) if data is not None else b""
                 if use_real_decode:
-                    # raises NotImplementedError when no codec lib is present
-                    feats.append(pixel_features(decode_image(data)).tolist())
+                    # raises NotImplementedError when no codec lib is present;
+                    # empty/undecodable payloads fail with a LABELED error (a
+                    # bare PIL UnidentifiedImageError inside the Arrow UDF
+                    # would kill the stage without naming the row)
+                    if not data:
+                        raise ValueError(
+                            f"extract_features: empty media bytes for media_id={int(mid)}"
+                        )
+                    try:
+                        feats.append(pixel_features(decode_image(data)).tolist())
+                    except NotImplementedError:
+                        raise
+                    except Exception as e:  # pragma: no cover - codec-lib path
+                        raise ValueError(
+                            f"extract_features: undecodable media_id={int(mid)}: {e}"
+                        ) from e
                 else:
                     feats.append(fake_features(data).tolist())
                 hashes.append(hashlib.sha256(data).hexdigest())
@@ -222,11 +236,23 @@ def resize_images(
             if pdf.empty:
                 continue
             out = []
-            for data in pdf[media_col]:
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(data) if data is not None else b""
                 if use_real_decode:
-                    # raises NotImplementedError when no codec lib is present
-                    out.append(resize_image(data, width, height))
+                    # raises NotImplementedError when no codec lib is present;
+                    # empty/undecodable payloads fail with a LABELED error
+                    if not data:
+                        raise ValueError(
+                            f"resize_images: empty media bytes for media_id={int(mid)}"
+                        )
+                    try:
+                        out.append(resize_image(data, width, height))
+                    except NotImplementedError:
+                        raise
+                    except Exception as e:  # pragma: no cover - codec-lib path
+                        raise ValueError(
+                            f"resize_images: undecodable media_id={int(mid)}: {e}"
+                        ) from e
                 else:
                     out.append(_fake_resized(data, width, height))
             yield pd.DataFrame(
@@ -263,20 +289,36 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def decode_video_frame(data: bytes, ts_ms: int) -> bytes:
-    """Video bytes -> nearest decoded frame at ts_ms as PNG bytes via PyAV
-    when importable; otherwise a clearly marked NotImplementedError."""
+    """Video bytes -> the decoded frame nearest ts_ms as PNG bytes via PyAV
+    when importable; otherwise a clearly marked NotImplementedError.
+
+    Seeking lands on the keyframe at/before ts_ms, so decoding continues past
+    it until the first frame at/after the target; of the two frames straddling
+    ts_ms the closer one wins (a bare seek-and-take-first would silently
+    return a frame well before the target)."""
     if HAVE_PYAV:  # pragma: no cover - exercised only where PyAV exists
         import io
 
+        def _png(frame) -> bytes:
+            buf = io.BytesIO()
+            frame.to_image().save(buf, format="PNG")
+            return buf.getvalue()
+
         with _av.open(io.BytesIO(data)) as container:
             stream = container.streams.video[0]
-            offset = int(ts_ms / 1000 / float(stream.time_base))
-            container.seek(offset, stream=stream)
+            tb = float(stream.time_base)
+            target = ts_ms / 1000.0
+            container.seek(int(target / tb), stream=stream)
+            prev = prev_t = None
             for frame in container.decode(stream):
-                img = frame.to_image()
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                return buf.getvalue()
+                t = (frame.pts or 0) * tb
+                if t >= target:
+                    if prev is not None and (target - prev_t) <= (t - target):
+                        return _png(prev)
+                    return _png(frame)
+                prev, prev_t = frame, t
+            if prev is not None:  # target past the last frame
+                return _png(prev)
         raise ValueError(f"no decodable frame at {ts_ms}ms")
     raise NotImplementedError(
         "video decoding requires a codec library (e.g. PyAV/ffmpeg); "
@@ -308,7 +350,12 @@ def sample_video_frames(
                 for i in range(n_frames):
                     ts = (i * dur) // n_frames
                     if use_real_decode:
-                        # raises NotImplementedError when no codec lib exists
+                        # raises NotImplementedError when no codec lib exists;
+                        # empty payloads fail with a LABELED error
+                        if not data:
+                            raise ValueError(
+                                f"sample_video_frames: empty media bytes for media_id={int(mid)}"
+                            )
                         frames.append(decode_video_frame(data, ts))
                     else:
                         frames.append(hashlib.sha256(data + f"@{ts}".encode()).digest())

@@ -299,7 +299,9 @@ def ivf_centroids(
     centroid per sample point (a codebook cannot exceed its training set)."""
     sample = corpus.select(id_col, vec_col)
     if sample_mod is None:
-        sample_mod = max(1, sample.count() // max_sample)
+        # ceil division: floor would collect up to ~2x max_sample rows for
+        # corpus sizes just under 2*max_sample
+        sample_mod = max(1, -(-sample.count() // max_sample))
     if sample_mod > 1:
         sample = sample.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     rows = sample.orderBy(id_col).collect()
@@ -318,7 +320,12 @@ def ivf_centroids(
             if len(members):
                 cent[c] = members.mean(axis=0)
             else:  # re-seed dead cell deterministically: farthest point
-                d = 1.0 - (m @ cent.T / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)).max(axis=1)
+                # true cosine distance: normalize BOTH sides (an unnormalized
+                # centroid would bias the farthest-point choice toward
+                # large-norm centroids)
+                mn_ = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                cn_ = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+                d = 1.0 - (mn_ @ cn_.T).max(axis=1)
                 cent[c] = m[int(np.argmax(d))]
     return cent
 
