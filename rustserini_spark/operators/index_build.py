@@ -63,6 +63,11 @@ B_DEFAULT = 0.4  # /root/reference/src/searcher/lucene/searcher.rs:35)
 SEG_DOCS_DEFAULT = 1 << 16  # docs per segment: bounds the in-task encode state
 N_SHARDS_DEFAULT = 32  # doc shards: the unit of distributed query evaluation
 
+# materialize() preloads the driver-side term->idf map up to this vocab size
+# (~75 MB at 1M terms). Web-scale vocabularies (100M+ terms) skip the preload
+# and fall back to memoized per-batch filtered lookups.
+MAX_IDF_CACHE_TERMS = 1_000_000
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -126,6 +131,13 @@ class BM25Index:
     block_size: int = BLOCK_SIZE_DEFAULT
     n_shards: int = N_SHARDS_DEFAULT
     meta: dict = field(default_factory=dict)
+    # driver-side term -> idf map, preloaded once at materialize() when the
+    # vocabulary is small enough; None = look up per batch (memoized below).
+    # Killing the per-batch dictionary .collect() was round 3's measured
+    # ~2.5s fixed query-batch floor — a per-BATCH driver job that does not
+    # shrink with executors and so caps batch-scaling efficiency.
+    idf_cache: dict | None = field(default=None, repr=False)
+    _idf_memo: dict = field(default_factory=dict, repr=False)
 
     def materialize(self, timings: dict | None = None) -> "BM25Index":
         """Persist + force the query-time tables so searches hit cached blocks
@@ -134,7 +146,11 @@ class BM25Index:
         leave the task that encoded them), so the pruned search runs
         mapInPandas per cached partition — query batches run with zero
         shuffle. Disk-opened indexes instead shuffle matched blocks once to
-        their shard group per batch."""
+        their shard group per batch.
+
+        Also preloads the driver idf map (vocab permitting): a once-per-index
+        cost in the build amortized over every future query batch, replacing a
+        per-batch driver job."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -142,11 +158,38 @@ class BM25Index:
         self.postings.count()
         t1 = _time.perf_counter()
         self.dictionary = self.dictionary.persist()
-        self.dictionary.count()
+        n_terms = self.dictionary.count()
+        if self.idf_cache is None and n_terms <= MAX_IDF_CACHE_TERMS:
+            pdf = self.dictionary.select("term", "idf").toPandas()
+            self.idf_cache = dict(
+                zip(pdf["term"].tolist(), pdf["idf"].astype(float).tolist())
+            )
         if timings is not None:
             timings["postings_count_sec"] = round(t1 - t0, 3)
             timings["dictionary_agg_sec"] = round(_time.perf_counter() - t1, 3)
         return self
+
+    def idf_for_terms(self, terms: list[str]) -> dict[str, float]:
+        """term -> idf for exactly the given terms (absent = OOV, omitted).
+
+        Preloaded map when the vocab fits (one lookup, zero Spark jobs per
+        batch); otherwise one filtered collect for terms not yet memoized —
+        repeated / overlapping batches converge to zero jobs. OOV terms are
+        negative-cached so they never re-trigger a lookup."""
+        if self.idf_cache is not None:
+            return {t: self.idf_cache[t] for t in terms if t in self.idf_cache}
+        missing = [t for t in terms if t not in self._idf_memo]
+        if missing:
+            rows = (
+                self.dictionary.filter(F.col("term").isin(missing))
+                .select("term", "idf")
+                .collect()
+            )
+            for r in rows:
+                self._idf_memo[r["term"]] = float(r["idf"])
+            for t in missing:
+                self._idf_memo.setdefault(t, None)  # negative-cache OOV
+        return {t: v for t in terms if (v := self._idf_memo.get(t)) is not None}
 
 
 def tokenize_docs(docs: DataFrame, text_col: str, id_col: str, analyzer: str) -> DataFrame:

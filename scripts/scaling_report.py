@@ -81,7 +81,10 @@ DATA_DIR = os.environ.get(
 # size) at the 16-slot level too — at 512 queries that floor alone costs the
 # 4N level ~10% measured efficiency
 N_QUERIES = int(os.environ.get("SCALING_N_QUERIES", "2048"))
-REPS = int(os.environ.get("SCALING_REPS", "7"))
+# 9 reps (round-3 ask: bound the build-rep spread): the paired-median gate
+# statistic gets 9 adjacent pairs, and the per-pair host-normalized column
+# (engine/host within the same weather window) is reported alongside.
+REPS = int(os.environ.get("SCALING_REPS", "9"))
 # docid buckets == encode/query tasks: 256 -> 8 waves at 32 slots (wave-tail
 # stays small), still ~7.5k docs per in-task sort. A BUILD parameter, same at
 # both levels (identical plan + identical doc ids across cluster sizes).
@@ -294,10 +297,13 @@ def run_once(workers: int, cores: int) -> dict:
     # identical run in warmed JVMs (JMH-style). The warm pass also page-caches
     # the corpus and spawns/imports every python worker.
     n_en = webtext.filter(F.col("lang") == "en").count()
-    qdf = spark.createDataFrame(_queries(), "qid string, query string")
+    # raw (qid, query) lists — the reference's batch_search(Vec<String>)
+    # surface; skips a createDataFrame->collect round trip per batch (part of
+    # the round-3 fixed per-batch floor)
+    qlist = _queries()
     # 256-query warm batch: same plan shape -> same generated code compiled,
     # python workers + postings cache touched, at 1/8 the timed batch's cost
-    warm_q = spark.createDataFrame(_queries()[:256], "qid string, query string")
+    warm_q = qlist[:256]
     wt_warm = index_webtext(
         spark, webtext, lang="en", verify_extraction=True,
         n_docs_hint=n_en, n_id_buckets=ID_BUCKETS,
@@ -324,7 +330,7 @@ def run_once(workers: int, cores: int) -> dict:
     bm25_search_pruned(wt.index, warm_q, k=10).count()
 
     t0 = time.perf_counter()
-    n_results = bm25_search_pruned(wt.index, qdf, k=10).count()
+    n_results = bm25_search_pruned(wt.index, qlist, k=10).count()
     query_sec = time.perf_counter() - t0
 
     # rank-parity evidence across cluster sizes: hash the actual result set
@@ -333,7 +339,7 @@ def run_once(workers: int, cores: int) -> dict:
 
     rows = sorted(
         (r.qid, r.rank, r.doc_id, round(r.score, 9))
-        for r in bm25_search_pruned(wt.index, qdf, k=10).collect()
+        for r in bm25_search_pruned(wt.index, qlist, k=10).collect()
     )
     results_hash = hashlib.md5(repr(rows).encode()).hexdigest()
 
@@ -601,6 +607,16 @@ protocol is biased against the FAST level — the slow level finishes its tail
 on a quiet machine — so it was replaced, not merely re-run.)
 
 Efficiency target >= 0.8 (paired median): {"**MET**" if med_b >= 0.8 else "NOT MET"} (build), {"**MET**" if med_q >= 0.8 else "NOT MET"} (query).
+Raw paired reps still swing with single-pair weather; the tighter per-pair
+statistic is the HOST-NORMALIZED efficiency (each pair's measured efficiency
+divided by what the adjacent host probe granted in the same window): build
+**{norm_b_med}**, query **{norm_q_med}** (per-pair values in the decomposition
+below).
+Caveat (stated plainly): 4 -> 16 executor slots on one VM is this sandbox's
+stand-in for the north rule's N -> 4N whole machines; the >= 0.8 claim at
+real-cluster machine counts is an extrapolation from this window — chosen
+because it is the only concurrency window where this VM grants linear 4x
+process scaling at all (see the level-sizing note).
 {decomp}
 
 Level-sizing note (why {w0 * c0} -> {w1 * c1} slots): this sandbox VM's memory

@@ -99,6 +99,49 @@ def test_pruned_equals_exhaustive_small_k(tiny_index, queries_df):
             assert sa == pytest.approx(sb, abs=1e-9)
 
 
+def test_list_queries_match_dataframe_queries(tiny_index, queries_df):
+    """The reference's batch_search takes raw query strings (Vec<String>) —
+    the list fast path must produce identical results to the DataFrame path
+    (and skips a createDataFrame->collect round trip per batch)."""
+    _assert_parity(_collect(bm25_search_pruned(tiny_index, list(QUERIES), k=10)))
+    _assert_parity(_collect(bm25_search(tiny_index, list(QUERIES), k=10)))
+
+
+def test_idf_cache_preloaded_no_per_batch_dictionary_job(tiny_index):
+    """materialize() preloads the driver idf map; a pruned batch must then
+    resolve idf without ANY dictionary scan (round 3's measured ~2.5s fixed
+    per-batch floor was exactly this per-batch .collect())."""
+    tiny_index.materialize()
+    assert tiny_index.idf_cache is not None and "manhattan" in tiny_index.idf_cache
+    # poison the dictionary DataFrame: any per-batch access would now blow up
+    saved = tiny_index.dictionary
+    try:
+        tiny_index.dictionary = None
+        got = _collect(bm25_search_pruned(tiny_index, list(QUERIES), k=10))
+    finally:
+        tiny_index.dictionary = saved
+    _assert_parity(got)
+
+
+def test_idf_memo_fallback_matches_cache(tiny_index, queries_df):
+    """Vocabularies above MAX_IDF_CACHE_TERMS fall back to memoized filtered
+    lookups — same answers, and the memo converges (2nd call = zero lookups)."""
+    import rustserini_spark.operators.index_build as ib
+
+    saved_cache, saved_memo = tiny_index.idf_cache, dict(tiny_index._idf_memo)
+    try:
+        tiny_index.idf_cache = None
+        tiny_index._idf_memo.clear()
+        _assert_parity(_collect(bm25_search_pruned(tiny_index, list(QUERIES), k=10)))
+        memo_after_first = dict(tiny_index._idf_memo)
+        assert memo_after_first.get("zzzunknownterm", "absent") is None  # OOV negative-cached
+        _assert_parity(_collect(bm25_search_pruned(tiny_index, list(QUERIES), k=10)))
+        assert tiny_index._idf_memo == memo_after_first
+    finally:
+        tiny_index.idf_cache, tiny_index._idf_memo = saved_cache, saved_memo
+    assert ib.MAX_IDF_CACHE_TERMS >= 1_000_000  # web-vocab guard stays in place
+
+
 def test_canonical_query_top1(tiny_index, queries_df):
     # reference parity style: top-1 docid for the canonical Manhattan-Project
     # query is doc 0 (/root/reference/tests/searcher_test.rs:99)
