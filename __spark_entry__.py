@@ -2,10 +2,12 @@
 
 Each ``queries()`` entry is an operator from SURVEY.md §2 (or a first-class
 training-data-pipeline addition); ``oracle_sql()`` carries the exact DuckDB
-mirror. SQL-inexpressible ops (Porter-analyzer BM25 — stemming is not SQL;
-LSH-ANN — approximate by construction) have no oracle entry and are gated by
-the NumPy-oracle pytest suite instead (tests/test_bm25_parity.py,
-tests/test_similarity.py).
+mirror. Ops whose FIRST stage is not SQL-expressible but whose downstream
+math is (Porter-BM25, encoder-kNN) are oracle-checked from a driver-dumped
+side parquet of that stage's output (see "side-table oracles" below). Only
+the genuinely APPROXIMATE ops (LSH near-dup, LSH/IVF ANN — recall < 1 by
+construction) remain rows-only, gated by recall/planted-dup pytest instead
+(tests/test_similarity.py).
 
 Float columns crossing the comparison boundary are rounded with the shared
 floor-based r4() (rustserini_spark/functions/parity.py) on BOTH sides, and
@@ -17,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -334,6 +337,137 @@ WHERE cos >= {threshold}
 """
 
 
+# -------------------------------------------------- side-table oracles -----
+# Porter stemming and the stand-in dense encoder are not SQL-expressible, but
+# everything downstream of them IS (BM25 sum / cosine top-k). Following the
+# round-3 verdict's prescription, oracle_sql() dumps the shared Python
+# analyzer's (doc_id, term) relation (resp. the HashingEncoder vectors) to a
+# side parquet — computed DRIVER-SIDE with pyarrow, no Spark — and the DuckDB
+# oracle does the remaining math from that relation. This oracle-checks the
+# whole index-build + block-compress + pruned-search machinery (the analyzer
+# itself is gated by the Porter golden tests in tests/test_porter.py).
+
+_ORACLE_SIDE_DIR = "/tmp/rustserini_oracle"
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+_PORTER_TOKENS_PATH = f"{_ORACLE_SIDE_DIR}/porter_tokens_sf001.parquet"
+_HASH_VECTORS_PATH = f"{_ORACLE_SIDE_DIR}/hash_vectors_sf001.parquet"
+ENCODE_DIM = 32
+ENCODE_K = 5
+ENCODE_QUERY_MAX_ID = 4
+
+
+def _dump_porter_tokens(sf_dir: str = _ORACLE_SF_DIR, path: str = _PORTER_TOKENS_PATH) -> str:
+    """One (doc_id, term) row per analyzed token occurrence, via the SAME
+    analyze_text the engine's build UDF calls."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rustserini_spark.analysis import analyze_text
+
+    os.makedirs(_ORACLE_SIDE_DIR, exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids, terms = [], []
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for t in analyze_text(text or ""):
+            doc_ids.append(did)
+            terms.append(t)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "term": pa.array(terms)}),
+        path,
+    )
+    return path
+
+
+def _dump_hash_vectors(sf_dir: str = _ORACLE_SF_DIR, path: str = _HASH_VECTORS_PATH) -> str:
+    """(vec_id, embedding double[]): the stand-in encoder run driver-side over
+    the documents table — bit-identical to the distributed encode_documents
+    pass (pure function of the sanitized text, md5-seeded)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rustserini_spark.functions.text import sanitize_str
+    from rustserini_spark.operators.encode import HashingEncoder
+
+    os.makedirs(_ORACLE_SIDE_DIR, exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    texts = [sanitize_str("" if t is None else str(t)) for t in tbl["text"].to_pylist()]
+    mat = HashingEncoder(dim=ENCODE_DIM).encode_batch(texts).astype(np.float64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([int(i) for i in ids], pa.int64()),
+                "embedding": pa.array([row.tolist() for row in mat], pa.list_(pa.float64())),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _porter_query_values() -> str:
+    from collections import Counter
+
+    from rustserini_spark.analysis import analyze_text
+
+    vals = []
+    for qid, q in BM25_QUERIES:
+        for t, n in sorted(Counter(analyze_text(q)).items()):
+            vals.append(f"('{qid}', '{t}'" + f", {n})")
+    return ", ".join(vals)
+
+
+def _bm25_porter_sql(k1: float = 0.9, b: float = 0.4, k: int = BM25_K) -> str:
+    _dump_porter_tokens()
+    return f"""
+WITH tok AS (SELECT doc_id, term FROM read_parquet('{_PORTER_TOKENS_PATH}')),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(qid, term, qtf) AS (VALUES {_porter_query_values()}),
+scored AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(qt.qtf * ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.qid, tf.doc_id),
+rounded AS (SELECT qid, doc_id, {sql_r4('score')} AS score_r FROM scored),
+ranked AS (SELECT qid, doc_id, score_r,
+                  row_number() OVER (PARTITION BY qid ORDER BY score_r DESC, doc_id) AS rank
+           FROM rounded)
+SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _encode_knn_sql(k: int = ENCODE_K) -> str:
+    _dump_hash_vectors()
+    cos = (
+        "list_inner_product(qvec, cvec) / "
+        "(sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM read_parquet('{_HASH_VECTORS_PATH}')),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM v WHERE vec_id < {ENCODE_QUERY_MAX_ID}),
+c AS (SELECT vec_id, embedding AS cvec FROM v),
+s AS (SELECT qid, vec_id, {sql_r4(cos)} AS cos FROM c CROSS JOIN q)
+SELECT qid, vec_id, cos, rank FROM (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------------------------ spark plans --
 
 
@@ -399,10 +533,13 @@ def q_bm25_topk_simple(spark, sf_dir):
 
 
 def q_bm25_topk_porter(spark, sf_dir):
-    """Rank-parity mode (Lucene analysis chain); gated by the NumPy oracle in
-    pytest — stemming is not SQL-expressible, so no DuckDB entry."""
+    """Rank-parity mode (Lucene analysis chain) through the full engine.
+    Oracle-checked since round 4: DuckDB replays BM25 from a side parquet of
+    the SAME Python analyzer's (doc_id, term) relation (stemming itself is
+    not SQL; it is gated by the Porter golden tests)."""
     index = build_index(spark, _docs(spark, sf_dir), analyzer="porter")
-    return bm25_search_pruned(index, _queries_df(spark), k=BM25_K)
+    res = bm25_search_pruned(index, _queries_df(spark), k=max(50, BM25_K * 5))
+    return _rerank_rounded(res, BM25_K)
 
 
 FIELD_BOOSTS = {"text": 1.0, "source": 2.0}
@@ -479,16 +616,18 @@ def q_bm25_topk_topics(spark, sf_dir):
 
 def q_encode_knn(spark, sf_dir):
     """A3/A4 plumbing: deterministic stand-in encoder over the documents
-    table -> exact cosine top-k over the encoded vectors (engine-specific
-    embedding -> rows-only driver check; semantics tested in pytest)."""
+    table -> exact cosine top-k over the encoded vectors. Oracle-checked
+    since round 4: DuckDB replays the cosine top-k from a side parquet of the
+    SAME encoder's vectors computed driver-side (bit-identical pure function
+    of the sanitized text)."""
     from rustserini_spark.operators.encode import HashingEncoder, encode_documents
 
     docs = _docs(spark, sf_dir)
-    enc = HashingEncoder(dim=32)
+    enc = HashingEncoder(dim=ENCODE_DIM)
     emb = encode_documents(docs, enc, id_col="doc_id").withColumn(
         "vec_id", F.col("vec_id").cast("long")
     ).persist()
-    res = cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
+    res = cosine_topk(emb, emb.filter(F.col("vec_id") < ENCODE_QUERY_MAX_ID), k=ENCODE_K)
     return res.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -603,16 +742,20 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF,nprobe approximate NN (recall < 1 by construction) — rows-only
-    driver check; recall >= 0.9 vs brute force asserted in
-    tests/test_similarity.py::test_ivf_ann_recall_clustered."""
-    from rustserini_spark.operators.similarity import ivf_ann_topk
+    """IVF,nprobe approximate NN over the MATERIALIZED cell-partitioned index
+    (build once -> probe with partition pruning — the 100 TB path; VERDICT r3
+    #4). Recall < 1 by construction -> rows-only driver check; recall >= 0.9
+    and indexed==per-call parity asserted in tests/test_similarity.py."""
+    import tempfile
+
+    from rustserini_spark.operators.similarity import build_ivf_index, ivf_ann_topk_indexed
 
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()["embedding"])
-    res = ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID),
-        dim=dim, k=10, n_centroids=16, n_probe=8,
+    base = tempfile.mkdtemp(prefix="ivf_entry_")
+    ivf = build_ivf_index(emb, dim=dim, base_dir=base, n_centroids=16)
+    res = ivf_ann_topk_indexed(
+        spark, ivf, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), k=10, n_probe=8
     )
     return res.withColumn("rank", F.col("rank").cast("long"))
 
@@ -670,10 +813,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "bm25_topk_simple": _bm25_sql(),
-        # bm25_topk_porter: intentionally no SQL oracle (Porter stemming),
+        "bm25_topk_porter": _bm25_porter_sql(),
         "bm25_fields_topk_simple": _bm25_fields_sql(),
         "bm25_topk_topics": _bm25_sql(),
-        # encode_knn: engine-specific stand-in embedding — rows-only check.
+        "encode_knn": _encode_knn_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper "
             "FROM documents GROUP BY md5(text)"

@@ -5,11 +5,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from rustserini_spark.operators.similarity import (
+    build_ivf_index,
     cosine_neardup_pairs,
     cosine_topk,
     dot_topk,
     ivf_ann_topk,
+    ivf_ann_topk_indexed,
     ivf_centroids,
+    load_ivf_index,
     lsh_ann_topk,
     lsh_neardup_pairs,
 )
@@ -142,6 +145,43 @@ def test_ivf_ann_recall_clustered(spark, clustered):
         hits += len(got.get(qid, set()) & exact)
         total += len(exact)
     assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_indexed_matches_per_call_path(spark, clustered, tmp_path):
+    """The materialized cell-partitioned index answers IDENTICALLY to the
+    per-call path (same codebook seed => same cells => same candidates =>
+    same exact re-rank), while reading only probed cells' files. Also:
+    load_ivf_index round-trips the codebook, and a re-build with the same
+    fingerprint REUSES the stage instead of rewriting it."""
+    import json
+    import os
+
+    df, ids, mat = clustered
+    queries = df.filter(F.col("vec_id") < 16)
+    base = str(tmp_path / "ivf")
+    ivf = build_ivf_index(df, dim=32, base_dir=base, n_centroids=40)
+    got_idx = {
+        (r.qid, r.rank): (r.vec_id, r.cos)
+        for r in ivf_ann_topk_indexed(spark, ivf, queries, k=10, n_probe=8).collect()
+    }
+    got_call = {
+        (r.qid, r.rank): (r.vec_id, r.cos)
+        for r in ivf_ann_topk(df, queries, dim=32, k=10, n_centroids=40, n_probe=8).collect()
+    }
+    assert got_idx == got_call and len(got_idx) == 160
+
+    # round-trip + idempotent rebuild
+    loaded = load_ivf_index(base)
+    np.testing.assert_array_equal(loaded.centroids, ivf.centroids)
+    with open(os.path.join(base, "ivf_cells", "_MANIFEST.json")) as f:
+        first_write = json.load(f)["written_at_unix"]
+    build_ivf_index(df, dim=32, base_dir=base, n_centroids=40)
+    with open(os.path.join(base, "ivf_cells", "_MANIFEST.json")) as f:
+        assert json.load(f)["written_at_unix"] == first_write  # reused, not rewritten
+
+    # the table really is cell-partitioned on disk (one dir per cell)
+    cells = {d for d in os.listdir(os.path.join(base, "ivf_cells")) if d.startswith("cell=")}
+    assert len(cells) == 40
 
 
 def test_ivf_centroids_deterministic_across_partitioning(spark, clustered):
