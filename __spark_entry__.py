@@ -480,7 +480,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(BM25_QUERIES, "qid string, query string")
+    from rustserini_spark.session import local_rows_df
+
+    return local_rows_df(spark, BM25_QUERIES, "qid string, query string")
 
 
 def _simple_tokens(spark, sf_dir):

@@ -46,6 +46,7 @@ from rustserini_spark.operators.compress import (
     decode_posting_block,
 )
 from rustserini_spark.operators.index_build import BM25Index, tokens_col_for
+from rustserini_spark.session import local_rows_df
 
 # Above this many analyzed (qid, term) rows the pruned path's driver-side
 # query/idf closure stops being "tiny"; fall back to the fully distributed
@@ -138,14 +139,14 @@ def _matching_blocks(index: BM25Index, queries: DataFrame):
     qt_rows, terms = query_terms_local(queries, index.analyzer)
     if not terms:
         return None
-    qt = spark.createDataFrame(qt_rows, "qid string, term string, qtf long").coalesce(1)
+    qt = local_rows_df(spark, qt_rows, "qid string, term string, qtf long").coalesce(1)
     dict_sub = index.dictionary.filter(F.col("term").isin(terms)).select("term", "idf")
     blocks = index.postings.filter(F.col("term").isin(terms))
     return blocks.join(F.broadcast(qt), "term").join(F.broadcast(dict_sub), "term")
 
 
 def _empty_result(spark) -> DataFrame:
-    return spark.createDataFrame([], RESULT_SCHEMA)
+    return local_rows_df(spark, [], RESULT_SCHEMA)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:

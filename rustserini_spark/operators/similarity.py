@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rustserini_spark.functions.parity import r4
+from rustserini_spark.session import local_rows_df
 
 
 def _r4_np(x: np.ndarray) -> np.ndarray:
@@ -118,7 +119,7 @@ def _brute_topk(
     qids, qmat = _collect_queries(queries, id_col, vec_col)
     schema = f"qid long, vec_id long, {out} double"
     if qids.size == 0:
-        return spark.createDataFrame([], schema)
+        return local_rows_df(spark, [], schema)
     partial = corpus.select(id_col, vec_col).mapInPandas(
         _matmul_topk_factory(qids, qmat, metric, k, id_col, vec_col, out), schema
     )
@@ -226,7 +227,7 @@ def lsh_ann_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     qids, qmat = _collect_queries(queries, id_col, vec_col)
     if qids.size == 0:
-        return spark.createDataFrame([], "qid long, vec_id long, cos double, rank int")
+        return local_rows_df(spark, [], "qid long, vec_id long, cos double, rank int")
     if n_probe_bits is None:
         n_probe_bits = n_planes  # probe all Hamming-1 neighbors by default
 
@@ -236,7 +237,7 @@ def lsh_ann_topk(
     for flip in range(n_probe_bits):
         for q, b in zip(qids, base):
             probe_rows.append((int(q), int(b ^ (1 << flip))))
-    probes = spark.createDataFrame(probe_rows, "qid long, bucket long")
+    probes = local_rows_df(spark, probe_rows, "qid long, bucket long")
 
     csig = lsh_signatures(corpus, dim, n_planes, seed, id_col, vec_col)
     cand = csig.join(F.broadcast(probes), "bucket").select("qid", "vec_id").distinct()
@@ -385,13 +386,13 @@ def ivf_ann_topk(
     spark = corpus.sparkSession
     qids, qmat = _collect_queries(queries, id_col, vec_col)
     if qids.size == 0:
-        return spark.createDataFrame([], "qid long, vec_id long, cos double, rank int")
+        return local_rows_df(spark, [], "qid long, vec_id long, cos double, rank int")
     cent = ivf_centroids(corpus, dim, n_centroids, seed, sample_mod, id_col=id_col, vec_col=vec_col)
     order = _probe_cells_for(qmat, cent, n_probe)
     probe_rows = [
         (int(q), int(c)) for q, cells in zip(qids, order) for c in cells
     ]
-    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+    probes = local_rows_df(spark, probe_rows, "qid long, cell int")
 
     cells = ivf_assignments(corpus, cent, id_col, vec_col)
     cand = cells.join(F.broadcast(probes), "cell").select("qid", "vec_id")
@@ -519,10 +520,10 @@ def ivf_ann_topk_indexed(
     (tests assert the pruned scan in test_plans.py)."""
     qids, qmat = _collect_queries(queries, ivf.id_col, ivf.vec_col)
     if qids.size == 0:
-        return spark.createDataFrame([], "qid long, vec_id long, cos double, rank int")
+        return local_rows_df(spark, [], "qid long, vec_id long, cos double, rank int")
     order = _probe_cells_for(qmat, ivf.centroids, n_probe)
     probe_rows = [(int(q), int(c)) for q, cells in zip(qids, order) for c in cells]
-    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+    probes = local_rows_df(spark, probe_rows, "qid long, cell int")
     wanted = sorted({c for _, c in probe_rows})
 
     tbl = ivf.table(spark).filter(F.col("cell").isin(wanted))  # partition pruning

@@ -176,8 +176,10 @@ def _bucketed_urls(corpus: DataFrame, p: int, *extra_cols) -> DataFrame:
     else:
         # literal arrays don't scale to 100k-bucket corpora; broadcast-join
         # the (bucket -> routing key) mapping instead (p rows, map-side only)
-        mapping = spark.createDataFrame(
-            [(b, x) for b, x in enumerate(ident)], "_pid int, _pkey int"
+        from rustserini_spark.session import local_rows_df
+
+        mapping = local_rows_df(
+            spark, [(b, x) for b, x in enumerate(ident)], "_pid int, _pkey int"
         )
         src = src.join(F.broadcast(mapping), "_pid")
     return (

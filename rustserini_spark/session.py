@@ -11,6 +11,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Small driver-side row list -> DataFrame via the pandas/Arrow path.
+
+    pyspark 4.1's plain ``createDataFrame(list)`` costs ~4.5s of FIXED driver
+    work per materialization regardless of row count (measured: 40 rows at
+    local[32] — a python-runner conversion stage that never gets cheap),
+    while the pandas route is ~0.1s. Every interactive/per-batch local
+    relation (query-term frames, ANN probe sets, empty results) must come
+    through here — at batch rates that fixed cost IS the scaling floor.
+
+    ``schema`` is either a DDL string ("a string, b long") or a StructType.
+    """
+    import pandas as pd
+
+    if isinstance(schema, str):
+        names = [f.strip().split()[0] for f in schema.split(",")]
+    else:  # StructType
+        names = list(schema.fieldNames())
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def get_spark(
     app_name: str = "rustserini_spark",
     master: str | None = None,

@@ -109,10 +109,19 @@ def start_incremental_indexing(
     id_col: str = "doc_id",
     analyzer: str = "porter",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
     **build_kwargs,
 ):
-    """readStream(parquet dir) -> one segment per micro-batch (foreachBatch)."""
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    """readStream(parquet dir) -> one segment per micro-batch (foreachBatch).
+
+    ``available_now=False`` keeps the query live (polling for new files) —
+    the query-while-ingesting regime: open_segmented_index sees only
+    COMPLETE segments (stats.json is written last), so searches against a
+    running stream read a consistent prefix of the ingest."""
+    stream = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = stream.parquet(input_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -95,6 +95,71 @@ def test_compaction_restores_pruned_path(spark, documents, stream_dirs, tmp_path
     assert _run(bm25_search_pruned(compacted, qdf, k=10)) == expected
 
 
+def test_query_while_ingesting_matches_batch_over_prefix(
+    spark, documents, tmp_path_factory
+):
+    """North-rule resumability: queries are answerable WHILE the micro-batch
+    stream is mid-ingest. A search against the live segment dir must equal a
+    one-shot batch build over exactly the docs whose segments had committed
+    at query time (stats.json is written last, so open_segmented_index only
+    ever sees complete segments)."""
+    import time
+
+    from rustserini_spark.streaming.incremental import _segments
+
+    base = tmp_path_factory.mktemp("live")
+    inp, segs, ckpt = str(base / "input"), str(base / "segments"), str(base / "ckpt")
+    os.makedirs(inp)
+    docs = documents.select("doc_id", "text")
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(f"{inp}/chunk={i}")
+
+    qdf = spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+    q = start_incremental_indexing(
+        spark, f"{inp}/chunk=*", segs, SCHEMA, ckpt,
+        available_now=False, max_files_per_trigger=1,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline and (
+            not os.path.exists(segs) or not _segments(segs)
+        ):
+            time.sleep(0.5)
+        assert _segments(segs), "no segment committed within timeout"
+        assert q.isActive  # the stream is still running: mid-ingest
+
+        seg_index = open_segmented_index(spark, segs)  # snapshot of committed segs
+        prefix_ids = [r.doc_id for r in seg_index.doclen.select("doc_id").collect()]
+        assert 0 < len(prefix_ids) <= documents.count()
+        batch_prefix = build_index(
+            spark, docs.filter(F.col("doc_id").isin(prefix_ids))
+        )
+        expected = _run(bm25_search(batch_prefix, qdf, k=10))
+        assert _run(bm25_search_pruned(seg_index, qdf, k=10)) == expected
+        assert _run(bm25_search(seg_index, qdf, k=10)) == expected
+
+        # a third chunk arrives while the stream is live; wait for full ingest
+        docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(f"{inp}/chunk=2")
+        n_total = documents.count()
+
+        def ingested():
+            try:
+                return open_segmented_index(spark, segs).n_docs == n_total
+            except FileNotFoundError:
+                return False
+
+        deadline = time.time() + 240
+        while time.time() < deadline and not ingested():
+            time.sleep(0.5)
+        assert ingested(), "third chunk not ingested within timeout"
+    finally:
+        q.stop()
+
+    final = open_segmented_index(spark, segs)
+    full = build_index(spark, docs)
+    assert _run(bm25_search_pruned(final, qdf, k=10)) == _run(bm25_search(full, qdf, k=10))
+
+
 def test_streaming_is_idempotent_on_restart(spark, stream_dirs):
     inp, segs, ckpt = stream_dirs
     before = sorted(os.listdir(segs))
