@@ -17,6 +17,7 @@ between engines can never flip a rank.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -84,12 +85,19 @@ _SH_CTE = (
 )
 
 
+def _sql_q(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes escaped — the
+    tokenizer keeps internal apostrophes ("don't" stays one token), so raw
+    interpolation would produce broken DuckDB SQL."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _sql_list(words) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return "[" + ", ".join(_sql_q(w) for w in words) + "]"
 
 
 def _bm25_queries_values() -> str:
-    return ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+    return ", ".join(f"({_sql_q(q)}, {_sql_q(t)})" for q, t in BM25_QUERIES)
 
 
 def _bm25_sql(k1: float = 0.9, b: float = 0.4, k: int = BM25_K) -> str:
@@ -348,9 +356,13 @@ WHERE cos >= {threshold}
 # itself is gated by the Porter golden tests in tests/test_porter.py).
 
 _ORACLE_SIDE_DIR = "/tmp/rustserini_oracle"
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
-_PORTER_TOKENS_PATH = f"{_ORACLE_SIDE_DIR}/porter_tokens_sf001.parquet"
-_HASH_VECTORS_PATH = f"{_ORACLE_SIDE_DIR}/hash_vectors_sf001.parquet"
+# The sf dir the ORACLE reads must match the one the driver evaluates
+# queries() at (sf0.01 per the driver contract); overridable via env so a
+# different correctness scale re-points BOTH sides together.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+_ORACLE_SF_TAG = os.path.basename(_ORACLE_SF_DIR.rstrip("/")).replace(".", "")
+_PORTER_TOKENS_PATH = f"{_ORACLE_SIDE_DIR}/porter_tokens_{_ORACLE_SF_TAG}.parquet"
+_HASH_VECTORS_PATH = f"{_ORACLE_SIDE_DIR}/hash_vectors_{_ORACLE_SF_TAG}.parquet"
 ENCODE_DIM = 32
 ENCODE_K = 5
 ENCODE_QUERY_MAX_ID = 4
@@ -417,7 +429,7 @@ def _porter_query_values() -> str:
     vals = []
     for qid, q in BM25_QUERIES:
         for t, n in sorted(Counter(analyze_text(q)).items()):
-            vals.append(f"('{qid}', '{t}'" + f", {n})")
+            vals.append(f"({_sql_q(qid)}, {_sql_q(t)}, {n})")
     return ", ".join(vals)
 
 
@@ -479,6 +491,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_EMB_DIM_MEMO: dict[str, int] = {}
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality WITHOUT a Spark job: parquet's array<float>
+    schema does not carry the length, so read ONE row driver-side with
+    pyarrow (round-4 verdict #3 — the per-entry `.first()` here used to
+    launch a full Spark job before every LSH/IVF call, a fixed driver floor
+    of exactly the species the BM25 path spent two rounds killing)."""
+    got = _EMB_DIM_MEMO.get(sf_dir)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/embeddings.parquet"
+        if os.path.isdir(path):
+            name = next(n for n in sorted(os.listdir(path)) if n.endswith(".parquet"))
+            path = os.path.join(path, name)
+        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"]))
+        got = _EMB_DIM_MEMO[sf_dir] = len(batch["embedding"][0])
+    return got
+
+
 def _queries_df(spark: SparkSession) -> DataFrame:
     from rustserini_spark.session import local_rows_df
 
@@ -538,7 +572,14 @@ def q_bm25_topk_porter(spark, sf_dir):
     """Rank-parity mode (Lucene analysis chain) through the full engine.
     Oracle-checked since round 4: DuckDB replays BM25 from a side parquet of
     the SAME Python analyzer's (doc_id, term) relation (stemming itself is
-    not SQL; it is gated by the Porter golden tests)."""
+    not SQL; it is gated by the Porter golden tests).
+
+    Candidate-cut margin: the oracle ranks ALL docs by the r4-rounded score
+    while this side re-ranks the raw-score top-50 (5x the reported k=10). The
+    two can only disagree if >40 docs round-tie within one 1e-4 bucket at the
+    rank-10 boundary — BM25 sums over 500 distinct-length synthetic docs never
+    produce ties that wide (the driver's hash gate would catch it loudly if a
+    future fixture did)."""
     index = build_index(spark, _docs(spark, sf_dir), analyzer="porter")
     res = bm25_search_pruned(index, _queries_df(spark), k=max(50, BM25_K * 5))
     return _rerank_rounded(res, BM25_K)
@@ -622,14 +663,35 @@ def q_encode_knn(spark, sf_dir):
     since round 4: DuckDB replays the cosine top-k from a side parquet of the
     SAME encoder's vectors computed driver-side (bit-identical pure function
     of the sanitized text)."""
+    from rustserini_spark.functions.text import sanitize_str
     from rustserini_spark.operators.encode import HashingEncoder, encode_documents
+    from rustserini_spark.session import local_rows_df
 
     docs = _docs(spark, sf_dir)
     enc = HashingEncoder(dim=ENCODE_DIM)
     emb = encode_documents(docs, enc, id_col="doc_id").withColumn(
         "vec_id", F.col("vec_id").cast("long")
-    ).persist()
-    res = cosine_topk(emb, emb.filter(F.col("vec_id") < ENCODE_QUERY_MAX_ID), k=ENCODE_K)
+    )
+    # Query vectors encoded DRIVER-SIDE with the same pure float32 function
+    # (bit-identical to the distributed pass — the side-table oracle already
+    # proves this): the corpus is encoded exactly once distributed, and
+    # nothing needs .persist() (round-4 verdict #4: the old persist of `emb`
+    # leaked executor cache across the whole bench session).
+    qrows = sorted(
+        docs.filter(F.col("doc_id") < ENCODE_QUERY_MAX_ID)
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    qmat = enc.encode_batch(
+        [sanitize_str("" if r["text"] is None else str(r["text"])) for r in qrows]
+    )
+    queries = local_rows_df(
+        spark,
+        [(int(r["doc_id"]), [float(x) for x in vec]) for r, vec in zip(qrows, qmat)],
+        "vec_id long, embedding array<float>",
+    )
+    res = cosine_topk(emb, queries, k=ENCODE_K)
     return res.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -712,8 +774,7 @@ def q_lsh_neardup(spark, sf_dir):
     tests/test_similarity.py). Runs over the planted-near-dup union so the
     driver gate returns >0 rows (the raw fixture has no 0.95-cosine pairs)."""
     emb = _emb_with_planted(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_neardup_pairs(emb, dim=dim, threshold=0.95, n_planes=8)
+    return lsh_neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.95, n_planes=8)
 
 
 def q_embedding_cosine_topk(spark, sf_dir):
@@ -738,8 +799,9 @@ def q_ann_lsh_topk(spark, sf_dir):
     """Approximate NN (recall < 1 by construction) — rows-only driver check;
     recall vs brute force asserted in tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
-    res = lsh_ann_topk(emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), dim=dim, k=10)
+    res = lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), dim=_emb_dim(sf_dir), k=10
+    )
     return res.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -753,9 +815,8 @@ def q_ann_ivf_topk(spark, sf_dir):
     from rustserini_spark.operators.similarity import build_ivf_index, ivf_ann_topk_indexed
 
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
     base = tempfile.mkdtemp(prefix="ivf_entry_")
-    ivf = build_ivf_index(emb, dim=dim, base_dir=base, n_centroids=16)
+    ivf = build_ivf_index(emb, dim=_emb_dim(sf_dir), base_dir=base, n_centroids=16)
     res = ivf_ann_topk_indexed(
         spark, ivf, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), k=10, n_probe=8
     )
@@ -805,7 +866,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The two side-table oracles dump a driver-computed parquet from
+    # _ORACLE_SF_DIR; if that path is absent (correctness running at some
+    # other scale without SPARK_GRAFT_ORACLE_SF_DIR re-pointed), OMIT those
+    # two entries — the driver then records a rows-only check for them —
+    # rather than raising and invalidating every other oracle in this dict.
+    side: dict[str, str] = {}
+    if os.path.isdir(_ORACLE_SF_DIR) or os.path.isfile(_ORACLE_SF_DIR):
+        side["bm25_topk_porter"] = _bm25_porter_sql()
+        side["encode_knn"] = _encode_knn_sql()
     return {
+        **side,
         "term_frequency": f"WITH {_DOCS_CTE}, {_TF_CTE} SELECT doc_id, term, tf FROM tf",
         "doc_frequency": f"WITH {_DOCS_CTE}, {_TF_CTE} SELECT term, count(*) AS df FROM tf GROUP BY term",
         "doc_length": f"WITH {_DOCS_CTE} SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs",
@@ -815,10 +886,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "bm25_topk_simple": _bm25_sql(),
-        "bm25_topk_porter": _bm25_porter_sql(),
         "bm25_fields_topk_simple": _bm25_fields_sql(),
         "bm25_topk_topics": _bm25_sql(),
-        "encode_knn": _encode_knn_sql(),
         "exact_dedup": (
             "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper "
             "FROM documents GROUP BY md5(text)"

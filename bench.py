@@ -17,7 +17,20 @@ Protocol (self-described in the output's "protocol" field):
     reps) — the single-rep numbers rounds 1-2 reported mixed that cold start
     into the flagship queries; min-across-reps reports steady state.
   * the index is rebuilt (and its cache dropped) every rep — no rep ever
-    reads a previous rep's cached postings.
+    reads a previous rep's cached postings. Same for the IVF index: a FRESH
+    directory per rep, so "ivf_build" always measures a real train+write
+    (round-4 verdict #2: build and probe are now timed separately — the old
+    "ann_ivf_topk" entry re-built the materialized index inside the timed
+    probe, anti-rewarding the build-once/probe-many design).
+  * "bm25_pruned_disk" opens a CHECKPOINTED index from disk (load_index) and
+    searches it through the shuffled shard-group path — the reference's
+    LuceneSearcher::new lifecycle (/root/reference/src/searcher/lucene/
+    searcher.rs:25-46); the checkpointed index is built once per session,
+    untimed, before the reps. The cached zero-shuffle path is
+    "bm25_pruned_topk".
+  * after every rep the SQL cache is audited: any still-persisted RDD is a
+    leak (reported in extra.cached_rdds_after_rep, expected 0) and cleared so
+    no rep reads another rep's cache.
   * the driver's own wrapper may add fields (e.g. "n") outside this dict.
 """
 
@@ -25,7 +38,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -48,15 +63,23 @@ BENCH_QUERIES = (
     "fingerprint",
     "embedding_cosine_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "encode_knn",
 )
 
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 8
 
-def run_suite(spark, docs, queries_df, entry_mod) -> dict[str, float]:
+
+def run_suite(spark, docs, queries_df, entry_mod, ckpt_dir: str) -> dict[str, float]:
     """One full pass over every benchmarked operation; fresh index each call."""
-    from rustserini_spark.operators.index_build import build_index
+    from pyspark.sql import functions as F
+
+    from rustserini_spark.operators.index_build import build_index, load_index
     from rustserini_spark.operators.search import bm25_search, bm25_search_pruned
+    from rustserini_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk_indexed,
+    )
 
     timings: dict[str, float] = {}
 
@@ -79,6 +102,32 @@ def run_suite(spark, docs, queries_df, entry_mod) -> dict[str, float]:
     index.postings.unpersist()
     index.dictionary.unpersist()
 
+    # 2b. disk-opened lifecycle: open the prebuilt checkpointed index + search
+    #     through the shuffled shard-group path (blocks group to shards per
+    #     batch — the path a cold executor fleet takes on a warehouse index)
+    timed(
+        "bm25_pruned_disk",
+        lambda: bm25_search_pruned(load_index(spark, ckpt_dir), queries_df, k=10).count(),
+    )
+
+    # 2c. IVF lifecycle, split: train + cell-partitioned write once (fresh dir
+    #     every rep), then probe the materialized index alone
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = entry_mod._emb_dim(SF_DIR)
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        ivf = timed(
+            "ivf_build",
+            lambda: build_ivf_index(emb, dim=dim, base_dir=ivf_dir, n_centroids=IVF_N_CENTROIDS),
+        )
+        embq = emb.filter(F.col("vec_id") < entry_mod.EMB_QUERY_MAX_ID)
+        timed(
+            "ivf_probe",
+            lambda: ivf_ann_topk_indexed(spark, ivf, embq, k=10, n_probe=IVF_N_PROBE).count(),
+        )
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+
     # 3. curation / dedup / similarity / encode operators from the entry contract
     q = entry_mod.queries()
     for name in BENCH_QUERIES:
@@ -89,16 +138,33 @@ def run_suite(spark, docs, queries_df, entry_mod) -> dict[str, float]:
 def main() -> None:
     import __spark_entry__ as entry_mod
     from rustserini_spark import get_spark
+    from rustserini_spark.operators.index_build import build_index_checkpointed
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     queries_df = entry_mod._queries_df(spark)
 
-    reps = [run_suite(spark, docs, queries_df, entry_mod) for _ in range(REPS)]
+    # one untimed checkpointed build per session: bm25_pruned_disk times the
+    # OPEN+SEARCH lifecycle, not the build (which index_build_porter covers)
+    ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
+    build_index_checkpointed(spark, docs, ckpt_dir, input_id=SF_DIR, analyzer="porter")
+
+    reps = []
+    leaked_after_rep = []
+    for _ in range(REPS):
+        reps.append(run_suite(spark, docs, queries_df, entry_mod, ckpt_dir))
+        # cache audit: nothing may stay persisted across reps
+        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        leaked_after_rep.append(int(n_cached))
+        if n_cached:
+            spark.catalog.clearCache()
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
     timings = {k: min(r[k] for r in reps) for k in reps[0]}
     extra: dict = {
-        "index_docs_per_sec": round(n_docs / timings["index_build_porter"], 1)
+        "index_docs_per_sec": round(n_docs / timings["index_build_porter"], 1),
+        "cached_rdds_after_rep": leaked_after_rep,
     }
     if REPS > 1:
         # Raw per-rep timings go to a SIDE FILE, not the headline line: round 3

@@ -395,7 +395,16 @@ def bm25_search_pruned(index: BM25Index, queries, k: int = 10) -> DataFrame:
 
     _qstate = (per_query, idf_by_term)
     if len(pickle.dumps(_qstate)) > BROADCAST_QUERY_STATE_BYTES:
+        # one broadcast SLOT per index: unpersist the previous batch's blocks
+        # before creating this batch's, so long-lived sessions issuing many
+        # big batches never accumulate TorrentBroadcast blocks waiting on GC.
+        # unpersist() (not destroy) keeps the driver copy — a still-lazy
+        # result DataFrame from an earlier batch simply re-fetches on use.
+        prev = index.meta.get("_qstate_broadcast")
+        if prev is not None:
+            prev.unpersist(blocking=False)
         _qstate_bv = spark.sparkContext.broadcast(_qstate)
+        index.meta["_qstate_broadcast"] = _qstate_bv
         _qstate = None
     else:
         _qstate_bv = None

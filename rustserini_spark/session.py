@@ -24,9 +24,12 @@ def local_rows_df(spark: SparkSession, rows, schema):
     ``schema`` is either a DDL string ("a string, b long") or a StructType.
     """
     import pandas as pd
+    from pyspark.sql.types import StructType
 
     if isinstance(schema, str):
-        names = [f.strip().split()[0] for f in schema.split(",")]
+        # real DDL parse, not schema.split(',') — comma-bearing types
+        # (decimal(10,2), map<string,int>, struct<...>) would break a split
+        names = StructType.fromDDL(schema).fieldNames()
     else:  # StructType
         names = list(schema.fieldNames())
     pdf = pd.DataFrame(list(rows), columns=names)

@@ -25,6 +25,15 @@ module brings the same segment model to Spark, plus a streaming front end:
   rebuild globally doc-hash-sharded dense postings (_sorted_postings layout)
   — fewer, fuller blocks for tail terms; pruning tightness and scan locality
   improve, correctness is identical before and after.
+
+* ``merge_all_segments`` + the ``auto_compact_segments`` policy — WHEN to
+  compact (Lucene merges segments at commit,
+  /root/reference/src/searcher/lucene/index.rs:63-64): once the live segment
+  count reaches the threshold, the sink merges every complete segment into
+  ONE new segment in place. Segments record their constituent batch ids, so
+  a batch replayed after a crash that is already covered by a merged segment
+  is skipped — exactly-once survives a crash between merge and the stream's
+  checkpoint commit.
 """
 
 from __future__ import annotations
@@ -68,9 +77,12 @@ def write_segment(
     block_size: int = BLOCK_SIZE_DEFAULT,
     seg_docs: int = SEG_DOCS_DEFAULT,
     n_shards: int = N_SHARDS_DEFAULT,
+    batches: list[int] | None = None,
 ) -> dict:
     """Build one immutable segment from a (micro-)batch of docs — the same
-    one-pass encode as the batch build, scoped to the batch."""
+    one-pass encode as the batch build, scoped to the batch. ``batches``
+    records which stream batch ids this segment covers (a merged segment
+    covers many) so replays can skip already-covered batches."""
     postings = encode_postings(
         docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
     )
@@ -93,6 +105,7 @@ def write_segment(
         "b": b,
         "block_size": block_size,
         "n_shards": n_shards,
+        "batches": sorted(batches or []),
     }
     with open(os.path.join(seg_dir, "stats.json"), "w") as f:
         json.dump(stats, f)
@@ -110,6 +123,7 @@ def start_incremental_indexing(
     analyzer: str = "porter",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    auto_compact_segments: int | None = None,
     **build_kwargs,
 ):
     """readStream(parquet dir) -> one segment per micro-batch (foreachBatch).
@@ -117,7 +131,13 @@ def start_incremental_indexing(
     ``available_now=False`` keeps the query live (polling for new files) —
     the query-while-ingesting regime: open_segmented_index sees only
     COMPLETE segments (stats.json is written last), so searches against a
-    running stream read a consistent prefix of the ingest."""
+    running stream read a consistent prefix of the ingest.
+
+    ``auto_compact_segments=N`` is the merge policy (Lucene merges at commit):
+    once N complete segments exist, they are merged in place into one segment
+    via merge_all_segments — search results are identical before and after
+    (tested), tail-term blocks densify, and the per-batch segment-open cost
+    stops growing with ingest length."""
     stream = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -126,11 +146,18 @@ def start_incremental_indexing(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if batch_id in covered_batches(base_dir):
+            # replay of a batch already folded into a merged segment (crash
+            # between merge and checkpoint commit): writing it again would
+            # double-count its docs
+            return
         seg_dir = os.path.join(base_dir, f"{SEG_PREFIX}{batch_id:06d}")
         write_segment(
             spark, batch_df, seg_dir, text_col=text_col, id_col=id_col,
-            analyzer=analyzer, **build_kwargs,
+            analyzer=analyzer, batches=[batch_id], **build_kwargs,
         )
+        if auto_compact_segments and len(_segments(base_dir)) >= auto_compact_segments:
+            merge_all_segments(spark, base_dir)
 
     writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", stream_checkpoint)
     if available_now:
@@ -144,6 +171,105 @@ def _segments(base_dir: str) -> list[str]:
         for d in os.listdir(base_dir)
         if d.startswith(SEG_PREFIX) and os.path.exists(os.path.join(base_dir, d, "stats.json"))
     )
+
+
+def covered_batches(base_dir: str) -> set[int]:
+    """Stream batch ids already represented by a COMPLETE segment (its own or
+    a merged one). Pre-"batches" segments fall back to the batch id encoded in
+    the directory name."""
+    covered: set[int] = set()
+    if not os.path.isdir(base_dir):
+        return covered
+    for seg in _segments(base_dir):
+        stats = json.load(open(os.path.join(seg, "stats.json")))
+        got = stats.get("batches")
+        if got:
+            covered.update(int(b) for b in got)
+        else:
+            tail = os.path.basename(seg)[len(SEG_PREFIX):]
+            if tail.isdigit():
+                covered.add(int(tail))
+    return covered
+
+
+def merge_all_segments(
+    spark: SparkSession,
+    base_dir: str,
+    max_group: int = MAX_GROUP_DEFAULT,
+) -> str | None:
+    """Merge every complete segment under ``base_dir`` into ONE new segment,
+    in place (the auto-compaction step; returns the new segment dir, or None
+    when there is nothing to merge).
+
+    The merged segment is built COMPLETELY in a hidden temp dir (no
+    SEG_PREFIX, so readers never see it half-written), then committed:
+    source stats.json files are removed (sources turn invisible), the temp
+    dir is renamed to its final segment name (turns visible atomically on
+    POSIX), and the source dirs are deleted. Single-writer semantics — the
+    stream's foreachBatch runs sinks serially; a concurrent READER in the
+    brief commit window sees a consistent prefix of the ingest (some batches
+    temporarily invisible), never a double count."""
+    import shutil
+
+    segs = _segments(base_dir)
+    if len(segs) < 2:
+        return None
+    seg_index = open_segmented_index(spark, base_dir)
+    stats = [json.load(open(os.path.join(s, "stats.json"))) for s in segs]
+    batches: set[int] = set()
+    for s, st in zip(segs, stats):
+        got = st.get("batches")
+        if got:
+            batches.update(int(b) for b in got)
+        else:
+            tail = os.path.basename(s)[len(SEG_PREFIX):]
+            if tail.isdigit():
+                batches.add(int(tail))
+
+    tmp = os.path.join(base_dir, "_merge_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed merge — never committed
+    tf = decoded_postings(seg_index.postings)
+    dictionary = dictionary_from_postings(
+        seg_index.postings, seg_index.n_docs, seg_index.avgdl or 1.0,
+        seg_index.k1, seg_index.b,
+    )
+    postings = _sorted_postings(
+        tf, dictionary.select("term", "df"), seg_index.block_size,
+        max_group, seg_index.n_shards,
+    )
+    postings.repartition("term").sortWithinPartitions(
+        "term", "shard", "salt", "block_seq"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "postings"))
+    dictionary.write.mode("overwrite").parquet(os.path.join(tmp, "dictionary"))
+    seg_index.doclen.write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": seg_index.n_docs,
+                "sum_dl": sum(st["sum_dl"] for st in stats),
+                "analyzer": seg_index.analyzer,
+                "k1": seg_index.k1,
+                "b": seg_index.b,
+                "block_size": seg_index.block_size,
+                "n_shards": seg_index.n_shards,
+                "batches": sorted(batches),
+            },
+            f,
+        )
+
+    # commit: hide sources, reveal the merged segment, reclaim the sources
+    final = os.path.join(
+        base_dir, f"{SEG_PREFIX}{max(batches) if batches else 0:06d}m"
+    )
+    while os.path.exists(final):
+        final += "m"
+    for s in segs:
+        os.remove(os.path.join(s, "stats.json"))
+    os.rename(tmp, final)
+    for s in segs:
+        shutil.rmtree(s)
+    return final
 
 
 def open_segmented_index(spark: SparkSession, base_dir: str) -> BM25Index:

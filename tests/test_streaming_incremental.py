@@ -160,6 +160,72 @@ def test_query_while_ingesting_matches_batch_over_prefix(
     assert _run(bm25_search_pruned(final, qdf, k=10)) == _run(bm25_search(full, qdf, k=10))
 
 
+def test_merge_all_segments_unit(spark, documents, tmp_path_factory):
+    """In-place merge: two segments collapse to one whose search-visible
+    content (doc count, coverage) is the union; single segment = no-op."""
+    from rustserini_spark.streaming.incremental import (
+        _segments,
+        covered_batches,
+        merge_all_segments,
+        write_segment,
+    )
+
+    segs = str(tmp_path_factory.mktemp("merge_unit"))
+    docs = documents.select("doc_id", "text")
+    write_segment(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), f"{segs}/seg_000000", batches=[0]
+    )
+    write_segment(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), f"{segs}/seg_000001", batches=[1]
+    )
+    new = merge_all_segments(spark, segs)
+    assert new is not None and os.path.basename(new) == "seg_000001m"
+    assert _segments(segs) == [new]
+    assert covered_batches(segs) == {0, 1}
+    merged = open_segmented_index(spark, segs)
+    assert merged.n_docs == documents.count()
+    assert merge_all_segments(spark, segs) is None  # nothing left to merge
+
+
+def test_auto_compaction_policy_triggers_and_preserves_results(
+    spark, documents, tmp_path_factory
+):
+    """auto_compact_segments=N: the sink merges in place when N complete
+    segments exist; results stay identical to a one-shot batch build, batch
+    coverage is preserved, and a same-checkpoint restart changes nothing."""
+    from rustserini_spark.streaming.incremental import _segments, covered_batches
+
+    base = tmp_path_factory.mktemp("autocompact")
+    inp, segs, ckpt = str(base / "input"), str(base / "segments"), str(base / "ckpt")
+    os.makedirs(inp)
+    docs = documents.select("doc_id", "text")
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(f"{inp}/chunk={i}")
+
+    def start():
+        return start_incremental_indexing(
+            spark, f"{inp}/chunk=*", segs, SCHEMA, ckpt,
+            available_now=True, max_files_per_trigger=1, auto_compact_segments=3,
+        )
+
+    start().awaitTermination(600)
+    live = _segments(segs)
+    assert len(live) < 4  # 4 batches arrived; the policy merged at 3
+    assert any(os.path.basename(s).endswith("m") for s in live)
+    assert covered_batches(segs) == {0, 1, 2, 3}
+
+    final = open_segmented_index(spark, segs)
+    assert final.n_docs == documents.count()
+    qdf = spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+    expected = _run(bm25_search(build_index(spark, docs), qdf, k=10))
+    assert _run(bm25_search_pruned(final, qdf, k=10)) == expected
+    assert _run(bm25_search(final, qdf, k=10)) == expected
+
+    before = sorted(os.listdir(segs))
+    start().awaitTermination(300)  # same checkpoint: no replay, no change
+    assert sorted(os.listdir(segs)) == before
+
+
 def test_streaming_is_idempotent_on_restart(spark, stream_dirs):
     inp, segs, ckpt = stream_dirs
     before = sorted(os.listdir(segs))
