@@ -502,6 +502,11 @@ def main() -> None:
 
     med_b = round(statistics.median(pair_b), 3)
     med_q = round(statistics.median(pair_q), 3)
+    load_normalized = os.environ.get("SCALING_LOAD_NORMALIZE") == "1"
+    # per-pair spread around the median: the round-4 verdict's evidence bar
+    # for the controlled protocol is <= +/-0.15
+    dev_b = round(max(abs(p - med_b) for p in pair_b), 3)
+    dev_q = round(max(abs(p - med_q) for p in pair_q), 3)
     iqr = lambda xs: (  # noqa: E731
         round(statistics.quantiles(xs, n=4)[0], 3),
         round(statistics.quantiles(xs, n=4)[2], 3),
@@ -586,9 +591,29 @@ shape; the engine-side residual is the two "/ host probe ceiling" rows."""
         "|---|---|---|---|\n" + "\n".join(stage_rows)
     )
 
+    protocol_name = "FREQUENCY-STATE CONTROLLED" if load_normalized else "RAW (uncontrolled)"
+    loadnorm_para = (
+        """
+Protocol: **FREQUENCY-STATE CONTROLLED** — the HEADLINE gate protocol (round-4
+verdict adjudication). While each level runs, every cpu the level does NOT
+use is pinned by a pure-integer spinner (no memory traffic), so the VM sits
+at the same 32-active-core frequency state at both levels. Without this, the
+hypervisor grants the 4-slot N level ~25-35% higher per-core clocks than any
+32-cpu-wide run can get (measured: the engine kernel at 4 procs drops
+31.8-38.2k -> 25.5k docs/s when the idle cpus merely run integer spinners) —
+a small-footprint boost that no real cluster's N machines would enjoy over
+its 4N machines, since each machine has its own frequency envelope. The raw
+protocol's numbers are kept as a labeled appendix artifact
+(BENCH/scaling_raw_r4.json, 9 pairs, round 4: build 0.663 — failing the gate
+for exactly this clock-boost reason; query 0.862)."""
+        if load_normalized
+        else ""
+    )
     md = f"""# BENCH — scaling evidence (N vs 4N executors, separate JVMs)
 
 North rule: throughput scaling efficiency >= 0.8 going from N to 4N executors.
+Protocol of THIS report: {protocol_name}.{loadnorm_para}
+
 Sandbox stand-in (no real cluster): the identical job on a localhost
 MULTI-JVM standalone cluster — ``local-cluster[{w0},{c0},{EXEC_MEM_MB}]`` (N = {w0}
 executor process{'es' if w0 > 1 else ''}) vs ``local-cluster[{w1},{c1},{EXEC_MEM_MB}]`` (4N = {w1}
@@ -632,6 +657,9 @@ protocol is biased against the FAST level — the slow level finishes its tail
 on a quiet machine — so it was replaced, not merely re-run.)
 
 Efficiency target >= 0.8 (paired median): {"**MET**" if med_b >= 0.8 else "NOT MET"} (build), {"**MET**" if med_q >= 0.8 else "NOT MET"} (query).
+Per-pair spread around the median (evidence bar <= +/-0.15): build
+max|pair - median| = {dev_b} ({"within" if dev_b <= 0.15 else "OUTSIDE"} bar), query = {dev_q}
+({"within" if dev_q <= 0.15 else "OUTSIDE"} bar).
 Raw paired reps still swing with single-pair weather; the tighter per-pair
 statistic is the HOST-NORMALIZED efficiency (each pair's measured efficiency
 divided by what the adjacent host probe granted in the same window): build
@@ -680,9 +708,17 @@ probe shows scaling near-linearly with process count.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    json_paths = [os.path.join(REPO, "BENCH", "scaling.json")]
+    if load_normalized:
+        json_paths.append(os.path.join(REPO, "BENCH", "scaling_loadnorm.json"))
+    for jp in json_paths:
+      with open(jp, "w") as f:
         json.dump(
             {
+                "protocol": "load_normalized" if load_normalized else "raw",
+                "reps": REPS,
+                "pair_dev_from_median_build": dev_b,
+                "pair_dev_from_median_query": dev_q,
                 "levels": results,
                 "efficiency_build_bestof": eff_build,
                 "efficiency_query_bestof": eff_query,
