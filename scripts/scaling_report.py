@@ -513,6 +513,20 @@ def main() -> None:
     ) if len(xs) >= 4 else (min(xs), max(xs))
     iqr_b, iqr_q = iqr(pair_b), iqr(pair_q)
 
+    # sign-test framing: the max-deviation bar is breakable by ONE weather
+    # pair no matter how many pairs agree; the count of pairs individually
+    # meeting the 0.8 gate (plus the exact one-sided sign-test p-value
+    # against "true median <= 0.8") is the statistic that actually gains
+    # power with more pairs
+    from math import comb
+
+    n_ge_b = sum(1 for p in pair_b if p >= 0.8)
+    n_ge_q = sum(1 for p in pair_q if p >= 0.8)
+    sign_p = lambda k, n: round(  # noqa: E731
+        sum(comb(n, i) for i in range(k, n + 1)) / 2**n, 3
+    )
+    sign_p_b, sign_p_q = sign_p(n_ge_b, REPS), sign_p(n_ge_q, REPS)
+
     # host-vs-engine decomposition: per-rep pure-CPU probe at each level's
     # slot count (the host's own 4x-process aggregate scaling, measured
     # adjacent to the job) + the encode stage's total executor-seconds (the
@@ -660,6 +674,11 @@ Efficiency target >= 0.8 (paired median): {"**MET**" if med_b >= 0.8 else "NOT M
 Per-pair spread around the median (evidence bar <= +/-0.15): build
 max|pair - median| = {dev_b} ({"within" if dev_b <= 0.15 else "OUTSIDE"} bar), query = {dev_q}
 ({"within" if dev_q <= 0.15 else "OUTSIDE"} bar).
+Pair-level agreement (robust to single-pair weather, unlike the max-dev
+bar): {n_ge_b}/{REPS} build pairs and {n_ge_q}/{REPS} query pairs individually
+meet >= 0.8; exact one-sided sign test against "true median <= 0.8":
+p = {sign_p_b} (build), p = {sign_p_q} (query). 25th-percentile pair: build
+{iqr_b[0]}, query {iqr_q[0]}.
 Raw paired reps still swing with single-pair weather; the tighter per-pair
 statistic is the HOST-NORMALIZED efficiency (each pair's measured efficiency
 divided by what the adjacent host probe granted in the same window): build
@@ -719,6 +738,10 @@ probe shows scaling near-linearly with process count.
                 "reps": REPS,
                 "pair_dev_from_median_build": dev_b,
                 "pair_dev_from_median_query": dev_q,
+                "pairs_ge_gate_build": n_ge_b,
+                "pairs_ge_gate_query": n_ge_q,
+                "sign_test_p_build": sign_p_b,
+                "sign_test_p_query": sign_p_q,
                 "levels": results,
                 "efficiency_build_bestof": eff_build,
                 "efficiency_query_bestof": eff_query,
