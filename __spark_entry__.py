@@ -36,13 +36,20 @@ from rustserini_spark.functions.text import (
     with_tokens,
 )
 from rustserini_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    neardup_dedup,
     simhash_dedup_groups,
     simhash_neardup_pairs,
     N_MINHASHES,
     N_BANDS,
+)
+from rustserini_spark.operators.curation import (
+    curate_corpus,
+    ngram_decontaminate,
+    training_mix_sample,
 )
 from rustserini_spark.operators.index_build import build_index
 from rustserini_spark.operators.search import bm25_search_pruned
@@ -242,6 +249,140 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 
+def _dup_clusters_sql(max_hamming: int = 3, n_bands: int | None = None) -> str:
+    """Connected components over the simhash near-dup pair graph as a
+    DuckDB recursive CTE: symmetrize the edges, propagate every reachable
+    label (terminates because UNION dedups the frontier), and take the
+    component minimum per node — the exact fixpoint dup_clusters' distributed
+    min-label propagation converges to. The MATERIALIZED hints are
+    load-bearing: DuckDB otherwise inlines the banded self-join into the
+    recursive step and re-evaluates it every iteration (measured 101s -> 2.7s
+    at sf0.01)."""
+    if n_bands is None:
+        n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d > max_hamming)
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_id, band{j} AS band_val FROM fp"
+        for j in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE {_DOCS_CTE},
+{_simhash_fp_cte(n_bands)},
+bands AS ({band_union}),
+pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
+def _neardup_dedup_sql(max_hamming: int = 3) -> str:
+    """Survivors of near-dup dedup: every doc whose id is not a LOSER of the
+    cluster resolution (doc_id != its component minimum). Unpaired docs have
+    no reach row and survive by the anti-join semantics."""
+    closure = _dup_clusters_sql(max_hamming).strip()
+    return f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({closure}) WHERE doc_id != cluster_id
+)
+"""
+
+
+# Decontamination entry: the "benchmark set" is derived deterministically
+# from the corpus itself (first DECON_BENCH_DOCS docs' leading token window),
+# so contamination is guaranteed non-vacuous with no external data.
+DECON_N = 6
+DECON_BENCH_DOCS = 5
+DECON_BENCH_WINDOW = DECON_N + 4
+
+
+def _decontaminate_sql() -> str:
+    n, w = DECON_N, DECON_BENCH_WINDOW
+    ngrams = (
+        f"CASE WHEN len(toks) >= {n} THEN list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) ELSE [] END"
+    )
+    btoks = "list_filter(regexp_split_to_array(lower(btext), '[^a-z0-9]+'), t -> t <> '')"
+    bngrams = ngrams.replace("toks", "btoks")
+    return f"""
+WITH {_DOCS_CTE},
+bench AS (SELECT array_to_string(toks[1:{w}], ' ') AS btext FROM docs WHERE doc_id < {DECON_BENCH_DOCS}),
+bench_sh AS MATERIALIZED (SELECT DISTINCT unnest({bngrams}) AS shingle
+            FROM (SELECT {btoks} AS btoks FROM bench)),
+doc_sh AS (SELECT doc_id, unnest({ngrams}) AS shingle FROM docs),
+bad AS (SELECT DISTINCT doc_id FROM doc_sh JOIN bench_sh USING (shingle))
+SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def _decon_bench(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return with_tokens(docs.filter(F.col("doc_id") < DECON_BENCH_DOCS)).select(
+        F.array_join(F.slice(F.col("toks"), 1, DECON_BENCH_WINDOW), " ").alias("text")
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: drop every document sharing a 6-token
+    shingle with the benchmark set (here: leading windows of the first five
+    docs — deterministic, guaranteed-contaminated). Bench side broadcasts;
+    the corpus is never shuffled."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ngram_decontaminate(docs, _decon_bench(spark, sf_dir), n=DECON_N).select(
+        "doc_id"
+    )
+
+
+# Training-mix sampling entry: per-language keep rates over lang_id strata
+MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+MIX_SALT = "mix"
+
+
+def _training_mix_sql() -> str:
+    counts = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_list(LANG_MARKERS[lang])}, t))) AS c_{lang}"
+        for lang in ("en", "de", "fr", "es")
+    )
+    rate = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(MIX_RATES.items())
+    )
+    return f"""
+WITH {_DOCS_CTE},
+c AS (SELECT doc_id, {counts} FROM docs),
+lp AS (SELECT doc_id,
+  CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+       WHEN c_es > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred
+  FROM c)
+SELECT doc_id, lang_pred FROM lp
+WHERE CAST(('0x' || substr(md5(concat_ws(':', '{MIX_SALT}', lang_pred, CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      / 4294967296.0
+    < (CASE lang_pred {rate} ELSE 0.0 END)
+"""
+
+
+def q_training_mix(spark, sf_dir):
+    """Deterministic per-language training-mix sample (en 0.5, de 1.0,
+    fr 0.25, everything else dropped): keep iff md5(salt:lang:id)[:8]/2^32 <
+    rate — engine-portable bit-for-bit, resampling-stable, one map-side
+    filter (no shuffle, no RNG state)."""
+    docs = with_tokens(_docs(spark, sf_dir).select("doc_id", "text"))
+    feat = docs.select("doc_id", lang_id_col("toks").alias("lang_pred"))
+    return training_mix_sample(feat, MIX_RATES, salt=MIX_SALT).select(
+        "doc_id", "lang_pred"
+    )
+
+
 def _lang_id_sql() -> str:
     counts = ", ".join(
         f"len(list_filter(toks, t -> list_contains({_sql_list(LANG_MARKERS[lang])}, t))) AS c_{lang}"
@@ -271,6 +412,66 @@ SELECT doc_id,
   {sql_r4(f'CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains({stop}, t))) AS DOUBLE) / len(toks) ELSE 0.0 END')} AS stopword_ratio,
   {sql_r4('CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END')} AS distinct_ratio
 FROM (SELECT d.doc_id, d.text, docs.toks FROM documents d JOIN docs USING (doc_id))
+"""
+
+
+# Curation-pipeline thresholds (the composed lang -> quality -> exact-dedup
+# -> SimHash-near-dup pipeline; chosen non-vacuous on the driver fixture:
+# n_tokens>=15 drops 19 of 500 docs, distinct_ratio>=0.35 drops ~99 more)
+CURATION_LANGS = ("en",)
+CURATION_MIN_TOKENS = 15
+CURATION_MAX_STOPWORD_RATIO = 0.5
+CURATION_MIN_DISTINCT_RATIO = 0.35
+
+
+def _curation_sql() -> str:
+    """DuckDB mirror of curate_corpus over the planted-dup corpus: identical
+    planted rows (exact copies + token-permuted copies), identical feature
+    expressions (the green lang_id / text_quality / simhash_groups oracle
+    fragments), keeper = min(doc_id) per md5(text) then per SimHash."""
+    counts = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_list(LANG_MARKERS[lang])}, t))) AS c_{lang}"
+        for lang in ("en", "de", "fr", "es")
+    )
+    stop = _sql_list(sorted(LUCENE_ENGLISH_STOPWORDS))
+    langs_in = ", ".join(_sql_q(lang) for lang in CURATION_LANGS)
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT doc_id + 200000, array_to_string(list_reverse({_TOKS}), ' ')
+  FROM documents WHERE doc_id >= 8 AND doc_id < 16
+),
+feat AS (
+  SELECT doc_id, text, toks,
+    CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+         WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+         WHEN c_es > 0 THEN 'es'
+         ELSE 'und' END AS lang_pred,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    {sql_r4('CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END')} AS avg_token_len,
+    {sql_r4(f'CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains({stop}, t))) AS DOUBLE) / len(toks) ELSE 0.0 END')} AS stopword_ratio,
+    {sql_r4('CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END')} AS distinct_ratio
+  FROM (SELECT doc_id, text, toks, {counts}
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM alldocs))
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE lang_pred IN ({langs_in}) AND n_tokens >= {CURATION_MIN_TOKENS}
+    AND stopword_ratio <= {CURATION_MAX_STOPWORD_RATIO}
+    AND distinct_ratio >= {CURATION_MIN_DISTINCT_RATIO}
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+),
+docs AS (SELECT doc_id, toks FROM kept),
+{_simhash_fp_cte()}
+SELECT k.doc_id, k.lang_pred, k.n_chars, k.n_tokens, k.avg_token_len,
+       k.stopword_ratio, k.distinct_ratio
+FROM kept k JOIN fp USING (doc_id)
+QUALIFY k.doc_id = min(k.doc_id) OVER (PARTITION BY fp.simhash)
 """
 
 
@@ -714,6 +915,41 @@ def q_fingerprint(spark, sf_dir):
     return with_tokens(_docs(spark, sf_dir)).select("doc_id", fingerprint_col("toks").alias("fp"))
 
 
+def _docs_with_planted_text_dups(spark, sf_dir):
+    """Deterministic dup planting so BOTH dedup stages of the curation
+    pipeline are non-vacuous (the fixture's 500 texts are all distinct):
+    exact copies of docs 0-7 (same text, id+100000 — caught by md5), and
+    token-permuted copies of docs 8-15 (reversed token stream re-joined:
+    different text and md5, IDENTICAL bag-of-words SimHash, id+200000).
+    The oracle plants the identical rows in SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    perm = with_tokens(docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 16))).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.col("toks"))).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(perm)
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Composed training-data curation pipeline (lang -> quality -> exact
+    dedup -> SimHash near-dup dedup) over the planted-dup corpus — every
+    stage individually oracle-green, and the composition is value-checked
+    end to end by _curation_sql()."""
+    out = curate_corpus(
+        _docs_with_planted_text_dups(spark, sf_dir),
+        langs=CURATION_LANGS,
+        min_tokens=CURATION_MIN_TOKENS,
+        max_stopword_ratio=CURATION_MAX_STOPWORD_RATIO,
+        min_distinct_ratio=CURATION_MIN_DISTINCT_RATIO,
+    )
+    return out.withColumn("n_chars", F.col("n_chars").cast("long")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+
 def q_token_counts(spark, sf_dir):
     """Token-budget accounting: whitespace words, simple tokens, BPE-ish
     pre-tokenizer pieces (lookahead-free GPT-2-style split, identical under
@@ -749,6 +985,25 @@ def q_simhash_groups(spark, sf_dir):
 
 
 SIMHASH_MAX_HAMMING = 7  # short synthetic docs flip ~6 bits per token edit
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Connected-component dup clusters over the simhash near-dup pair graph
+    (the keeper-resolution step before any near-dup deletion — near-dup is
+    not transitive, so chained groups must be resolved to their component
+    minimum, not pairwise). Distributed min-label propagation on the pair
+    graph only; oracle is a DuckDB recursive-CTE transitive closure."""
+    pairs = simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+    return dup_clusters(pairs)
+
+
+def q_neardup_dedup(spark, sf_dir):
+    """Near-dup DELETION end to end: one survivor (component-minimum id) per
+    connected dup cluster, every unpaired doc kept — the docs-level anti-join
+    over dup_clusters' losers."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = simhash_neardup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    return neardup_dedup(docs, pairs).select("doc_id")
 
 
 def q_simhash_neardup_pairs(spark, sf_dir):
@@ -850,12 +1105,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "curation_pipeline": q_curation_pipeline,
+        "decontaminate": q_decontaminate,
+        "training_mix": q_training_mix,
         "token_counts": q_token_counts,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash_groups": q_simhash_groups,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "dup_clusters": q_dup_clusters,
+        "neardup_dedup": q_neardup_dedup,
         "lsh_neardup": q_lsh_neardup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dot_topk": q_embedding_dot_topk,
@@ -894,6 +1154,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_quality": _quality_sql(),
         "lang_id": _lang_id_sql(),
+        "curation_pipeline": _curation_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "training_mix": _training_mix_sql(),
         "fingerprint": (
             f"WITH {_DOCS_CTE} SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM docs"
         ),
@@ -903,6 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_capped": _jaccard_sql(max_shingle_df=JACCARD_DF_CAP),
         "simhash_groups": _simhash_sql(),
         "simhash_neardup_pairs": _simhash_neardup_sql(SIMHASH_MAX_HAMMING),
+        "dup_clusters": _dup_clusters_sql(SIMHASH_MAX_HAMMING),
+        "neardup_dedup": _neardup_dedup_sql(SIMHASH_MAX_HAMMING),
         # lsh_neardup: approximate (bucketed) — rows-only check.
         "embedding_cosine_topk": _emb_topk_sql(_EMB_COS, "cos"),
         "embedding_dot_topk": _emb_topk_sql("list_inner_product(qvec, cvec)", "dot"),

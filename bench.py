@@ -61,6 +61,9 @@ BENCH_QUERIES = (
     "text_quality",
     "lang_id",
     "fingerprint",
+    "curation_pipeline",
+    "decontaminate",
+    "training_mix",
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "encode_knn",

@@ -253,6 +253,10 @@ def simhash_bands(simhash_col, n_bands: int) -> list:
     """Disjoint bit-slice bands of the 64-bit fingerprint, as Catalyst
     expressions (unsigned shifts — sign bit handled correctly)."""
     width = SIMHASH_BITS // n_bands
+    # full-width band (n_bands=1, i.e. max_hamming=0): the all-ones mask does
+    # not fit a signed long literal and the AND would be identity anyway
+    if width == SIMHASH_BITS:
+        return [simhash_col.alias("band0")]
     mask = (1 << width) - 1
     return [
         F.shiftrightunsigned(simhash_col, width * j).bitwiseAND(F.lit(mask)).alias(f"band{j}")
@@ -330,4 +334,100 @@ def simhash_neardup_pairs(
         cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) connected components over a near-dup pair graph —
+    the keeper-resolution step every pairs-producing detector here
+    (minhash_lsh_pairs, simhash_neardup_pairs, ngram_jaccard_pairs,
+    lsh_neardup_pairs) needs before it can DELETE anything: near-duplication
+    is not transitive, so "drop doc_b of every pair" over-deletes chained
+    groups (A~B, B~C, A!~C would drop B and C when one of them is the only
+    copy of its content worth keeping). cluster_id is the smallest doc_id in
+    the component; keep WHERE doc_id = cluster_id (plus every unpaired doc).
+
+    Algorithm: distributed min-label propagation WITH POINTER JUMPING.
+    label(v) starts at v; each round v takes min over its neighbours' labels
+    AND its label's label (label(label(v)) — the component minimum is always
+    itself a node, so the lookup is total). The jump halves every node's
+    label-distance to the component minimum, so convergence is O(log
+    diameter) rounds instead of O(diameter) — a 1M-link pathological chain
+    resolves in ~20 rounds; ``max_iters`` is a generous backstop.
+
+    Plan shape at scale: everything here runs on the PAIR GRAPH, which is
+    vastly smaller than the corpus (only docs with at least one near-dup
+    appear). Each round is two shuffle joins (edges x labels, labels x
+    labels — both hashed) + one map-side-combined min-agg + an O(1)-row
+    convergence probe; ``localCheckpoint`` truncates lineage every round so
+    plan size stays constant. Partition count derives from the measured edge
+    count (1 partition per ~500k edges, capped at the session shuffle
+    setting), so tiny graphs pay no 200-task fixed cost and huge ones still
+    spread. No all-pairs stage, no driver-side graph.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n_edges = edges.count()
+    session_p = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    p = max(1, min(session_p, n_edges // 500_000 + 1))
+    edges = edges.repartition(p, "src").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .repartition(p, "doc_id")
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        jump = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.cluster_id") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.cluster_id").alias("cluster_id"))
+        )
+        new = (
+            labels.unionByName(prop)
+            .unionByName(jump)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .repartition(p, "doc_id")
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
+            .filter(F.col("cluster_id") < F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """docs minus near-duplicates: one survivor (the smallest id) per
+    connected component of the pair graph, every unpaired doc kept. The
+    cluster table is tiny next to the corpus, so the anti-join broadcasts
+    under AQE at any corpus size."""
+    losers = dup_clusters(pairs, a_col, b_col, max_iters=50).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    return docs.join(
+        losers.select(F.col("doc_id").alias(id_col)), [id_col], "left_anti"
     )

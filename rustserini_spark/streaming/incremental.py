@@ -33,7 +33,11 @@ module brings the same segment model to Spark, plus a streaming front end:
   ONE new segment in place. Segments record their constituent batch ids, so
   a batch replayed after a crash that is already covered by a merged segment
   is skipped — exactly-once survives a crash between merge and the stream's
-  checkpoint commit.
+  checkpoint commit. The merge commit is LOSS-PROOF ordered: the merged
+  segment turns visible (atomic rename) before the sources are reclaimed,
+  and readers drop superseded sources (batch set contained in another
+  segment's) so no crash point loses a checkpoint-committed batch or counts
+  one twice.
 """
 
 from __future__ import annotations
@@ -156,7 +160,7 @@ def start_incremental_indexing(
             spark, batch_df, seg_dir, text_col=text_col, id_col=id_col,
             analyzer=analyzer, batches=[batch_id], **build_kwargs,
         )
-        if auto_compact_segments and len(_segments(base_dir)) >= auto_compact_segments:
+        if auto_compact_segments and len(_live_segments(base_dir)) >= auto_compact_segments:
             merge_all_segments(spark, base_dir)
 
     writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", stream_checkpoint)
@@ -173,22 +177,48 @@ def _segments(base_dir: str) -> list[str]:
     )
 
 
+def _seg_batches(seg: str, stats: dict) -> set[int]:
+    """Stream batch ids a segment covers; pre-"batches" segments fall back to
+    the batch id encoded in the directory name."""
+    got = stats.get("batches")
+    if got:
+        return {int(b) for b in got}
+    tail = os.path.basename(seg)[len(SEG_PREFIX):]
+    return {int(tail)} if tail.isdigit() else set()
+
+
+def _live_segments(base_dir: str) -> list[tuple[str, dict]]:
+    """Complete segments minus SUPERSEDED ones — a segment whose (non-empty)
+    batch set is contained in another segment's is a source that a merged
+    segment has already replaced. The merge commit makes the merged segment
+    visible BEFORE the sources are reclaimed (the loss-proof order: a crash
+    can only ever leave extra superseded sources, never drop a committed
+    batch), so every reader must apply this filter or it would count those
+    batches twice inside the commit window. Equal batch sets tie-break to the
+    lexicographically last name (merged segments carry an ``m`` suffix)."""
+    entries = []
+    for seg in _segments(base_dir):
+        stats = json.load(open(os.path.join(seg, "stats.json")))
+        entries.append((seg, stats, _seg_batches(seg, stats)))
+    live = []
+    for seg, stats, batches in entries:
+        superseded = bool(batches) and any(
+            other != seg and batches <= ob and (batches < ob or other > seg)
+            for other, _, ob in entries
+        )
+        if not superseded:
+            live.append((seg, stats))
+    return live
+
+
 def covered_batches(base_dir: str) -> set[int]:
-    """Stream batch ids already represented by a COMPLETE segment (its own or
-    a merged one). Pre-"batches" segments fall back to the batch id encoded in
-    the directory name."""
+    """Stream batch ids already represented by a COMPLETE live segment (its
+    own or a merged one)."""
     covered: set[int] = set()
     if not os.path.isdir(base_dir):
         return covered
-    for seg in _segments(base_dir):
-        stats = json.load(open(os.path.join(seg, "stats.json")))
-        got = stats.get("batches")
-        if got:
-            covered.update(int(b) for b in got)
-        else:
-            tail = os.path.basename(seg)[len(SEG_PREFIX):]
-            if tail.isdigit():
-                covered.add(int(tail))
+    for seg, stats in _live_segments(base_dir):
+        covered |= _seg_batches(seg, stats)
     return covered
 
 
@@ -202,29 +232,36 @@ def merge_all_segments(
     when there is nothing to merge).
 
     The merged segment is built COMPLETELY in a hidden temp dir (no
-    SEG_PREFIX, so readers never see it half-written), then committed:
-    source stats.json files are removed (sources turn invisible), the temp
-    dir is renamed to its final segment name (turns visible atomically on
-    POSIX), and the source dirs are deleted. Single-writer semantics — the
-    stream's foreachBatch runs sinks serially; a concurrent READER in the
-    brief commit window sees a consistent prefix of the ingest (some batches
-    temporarily invisible), never a double count."""
+    SEG_PREFIX, so readers never see it half-written), then committed in the
+    LOSS-PROOF order: the temp dir is renamed to its final segment name
+    (turns visible atomically on POSIX) FIRST, and only then are the source
+    segments reclaimed (stats.json removed — the source turns invisible —
+    then the dir deleted). A crash before the rename loses nothing (sources
+    intact; the orphan temp dir is reclaimed by the next merge); a crash
+    after it leaves sources visible but SUPERSEDED — every reader goes
+    through ``_live_segments``, which drops segments whose batch set another
+    segment already covers, and the next merge deletes the leftover dirs. No
+    point of failure loses a checkpoint-committed batch or counts one twice.
+    (The previous protocol hid the sources BEFORE revealing the merged
+    segment; a crash between those two steps lost every batch the stream's
+    checkpoint would not replay.)"""
     import shutil
 
-    segs = _segments(base_dir)
+    live = _live_segments(base_dir)
+    # reclaim superseded leftovers from a crash inside a previous commit window
+    live_set = {s for s, _ in live}
+    for seg in _segments(base_dir):
+        if seg not in live_set:
+            os.remove(os.path.join(seg, "stats.json"))
+            shutil.rmtree(seg)
+    segs = [s for s, _ in live]
     if len(segs) < 2:
         return None
     seg_index = open_segmented_index(spark, base_dir)
-    stats = [json.load(open(os.path.join(s, "stats.json"))) for s in segs]
+    stats = [st for _, st in live]
     batches: set[int] = set()
-    for s, st in zip(segs, stats):
-        got = st.get("batches")
-        if got:
-            batches.update(int(b) for b in got)
-        else:
-            tail = os.path.basename(s)[len(SEG_PREFIX):]
-            if tail.isdigit():
-                batches.add(int(tail))
+    for s, st in live:
+        batches |= _seg_batches(s, st)
 
     tmp = os.path.join(base_dir, "_merge_tmp")
     if os.path.exists(tmp):
@@ -258,16 +295,17 @@ def merge_all_segments(
             f,
         )
 
-    # commit: hide sources, reveal the merged segment, reclaim the sources
+    # commit: reveal the merged segment FIRST (atomic rename), then reclaim
+    # the now-superseded sources (stats.json first, so the non-atomic rmtree
+    # is never observable as a half-deleted COMPLETE segment)
     final = os.path.join(
         base_dir, f"{SEG_PREFIX}{max(batches) if batches else 0:06d}m"
     )
     while os.path.exists(final):
         final += "m"
-    for s in segs:
-        os.remove(os.path.join(s, "stats.json"))
     os.rename(tmp, final)
     for s in segs:
+        os.remove(os.path.join(s, "stats.json"))
         shutil.rmtree(s)
     return final
 
@@ -277,10 +315,11 @@ def open_segmented_index(spark: SparkSession, base_dir: str) -> BM25Index:
     valid — including block-max pruned — because block bounds are idf-free and
     evaluated under the global stats at query time (tested rank-identical to a
     single batch build over the same docs)."""
-    segs = _segments(base_dir)
-    if not segs:
+    live = _live_segments(base_dir) if os.path.isdir(base_dir) else []
+    if not live:
         raise FileNotFoundError(f"no segments under {base_dir}")
-    stats = [json.load(open(os.path.join(s, "stats.json"))) for s in segs]
+    segs = [s for s, _ in live]
+    stats = [st for _, st in live]
     n_docs = sum(s["n_docs"] for s in stats)
     sum_dl = sum(s["sum_dl"] for s in stats)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0

@@ -235,3 +235,73 @@ def test_streaming_is_idempotent_on_restart(spark, stream_dirs):
     )
     q.awaitTermination(300)
     assert sorted(os.listdir(segs)) == before
+
+
+def test_merge_crash_window_never_loses_or_double_counts(
+    spark, documents, tmp_path_factory
+):
+    """The merge commit is loss-proof ordered: the merged segment turns
+    visible (rename) BEFORE sources are reclaimed. Simulate a crash exactly
+    inside that window — merged segment AND its superseded sources all
+    COMPLETE on disk — and assert readers count every batch exactly once,
+    then that the next merge call reclaims the leftovers."""
+    from rustserini_spark.streaming.incremental import (
+        _live_segments,
+        _segments,
+        covered_batches,
+        merge_all_segments,
+        write_segment,
+    )
+
+    segs = str(tmp_path_factory.mktemp("crash_window"))
+    docs = documents.select("doc_id", "text")
+    write_segment(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), f"{segs}/seg_000000", batches=[0]
+    )
+    write_segment(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), f"{segs}/seg_000001", batches=[1]
+    )
+    # the merged segment, committed (renamed into place) but sources not yet
+    # reclaimed — the exact post-rename crash state
+    write_segment(spark, docs, f"{segs}/seg_000001m", batches=[0, 1])
+
+    assert len(_segments(segs)) == 3  # all three are COMPLETE on disk
+    assert [os.path.basename(s) for s, _ in _live_segments(segs)] == ["seg_000001m"]
+    assert covered_batches(segs) == {0, 1}  # replays of 0 and 1 are skipped
+
+    window = open_segmented_index(spark, segs)
+    assert window.n_docs == documents.count()  # exactly once, not doubled
+    qdf = spark.createDataFrame(pd.DataFrame(QUERIES, columns=["qid", "query"]))
+    expected = _run(bm25_search(build_index(spark, docs), qdf, k=10))
+    assert _run(bm25_search_pruned(window, qdf, k=10)) == expected
+
+    # recovery: the next merge reclaims the superseded dirs (nothing to merge)
+    assert merge_all_segments(spark, segs) is None
+    assert [os.path.basename(s) for s in _segments(segs)] == ["seg_000001m"]
+    assert not os.path.exists(f"{segs}/seg_000000")
+    assert open_segmented_index(spark, segs).n_docs == documents.count()
+
+
+def test_merge_crash_before_rename_is_harmless(spark, documents, tmp_path_factory):
+    """A crash BEFORE the rename leaves an orphan _merge_tmp and intact
+    sources: readers are unaffected and the next merge reclaims the orphan
+    and completes."""
+    from rustserini_spark.streaming.incremental import (
+        _segments,
+        merge_all_segments,
+        write_segment,
+    )
+
+    segs = str(tmp_path_factory.mktemp("crash_pre_rename"))
+    docs = documents.select("doc_id", "text")
+    write_segment(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), f"{segs}/seg_000000", batches=[0]
+    )
+    write_segment(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), f"{segs}/seg_000001", batches=[1]
+    )
+    os.makedirs(f"{segs}/_merge_tmp/postings")  # half-built orphan
+    assert open_segmented_index(spark, segs).n_docs == documents.count()
+    new = merge_all_segments(spark, segs)
+    assert new is not None and not os.path.exists(f"{segs}/_merge_tmp")
+    assert _segments(segs) == [new]
