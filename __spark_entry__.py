@@ -47,8 +47,14 @@ from rustserini_spark.operators.dedup import (
     N_BANDS,
 )
 from rustserini_spark.operators.curation import (
+    PII_RULES,
     curate_corpus,
+    filter_by_source_stats,
     ngram_decontaminate,
+    pii_scrub,
+    remove_frequent_lines,
+    repetition_features,
+    source_stats,
     training_mix_sample,
 )
 from rustserini_spark.operators.index_build import build_index
@@ -306,18 +312,13 @@ DECON_BENCH_WINDOW = DECON_N + 4
 
 def _decontaminate_sql() -> str:
     n, w = DECON_N, DECON_BENCH_WINDOW
-    ngrams = (
-        f"CASE WHEN len(toks) >= {n} THEN list_transform(range(1, len(toks) - {n} + 2), "
-        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) ELSE [] END"
-    )
     btoks = "list_filter(regexp_split_to_array(lower(btext), '[^a-z0-9]+'), t -> t <> '')"
-    bngrams = ngrams.replace("toks", "btoks")
     return f"""
 WITH {_DOCS_CTE},
 bench AS (SELECT array_to_string(toks[1:{w}], ' ') AS btext FROM docs WHERE doc_id < {DECON_BENCH_DOCS}),
-bench_sh AS MATERIALIZED (SELECT DISTINCT unnest({bngrams}) AS shingle
+bench_sh AS MATERIALIZED (SELECT DISTINCT unnest({_sql_ngrams(n, "btoks")}) AS shingle
             FROM (SELECT {btoks} AS btoks FROM bench)),
-doc_sh AS (SELECT doc_id, unnest({ngrams}) AS shingle FROM docs),
+doc_sh AS (SELECT doc_id, unnest({_sql_ngrams(n)}) AS shingle FROM docs),
 bad AS (SELECT DISTINCT doc_id FROM doc_sh JOIN bench_sh USING (shingle))
 SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
@@ -339,6 +340,195 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, _decon_bench(spark, sf_dir), n=DECON_N).select(
         "doc_id"
     )
+
+
+def _sql_ngrams(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) ELSE [] END"
+    )
+
+
+def _repetition_sql(ns: tuple[int, ...] = (2, 3)) -> str:
+    """Per-doc top/dup n-gram coverage via unnest + GROUP BY — semantically
+    identical to the engine's sorted-run-length aggregate (the oracle mirrors
+    VALUES, not implementation)."""
+    ctes, sel = [], []
+    for n in ns:
+        ctes.append(
+            f"a{n} AS (SELECT doc_id, max(c) AS maxc{n}, "
+            f"sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc{n} FROM "
+            f"(SELECT doc_id, s, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest({_sql_ngrams(n)}) AS s FROM docs) GROUP BY doc_id, s) "
+            f"GROUP BY doc_id)"
+        )
+        sel.append(
+            f"{sql_r4(f'{float(n)} * coalesce(maxc{n}, 0) / greatest(len(d.toks), 1)')} AS top{n}_frac"
+        )
+        sel.append(
+            f"{sql_r4(f'{float(n)} * coalesce(dupc{n}, 0) / greatest(len(d.toks), 1)')} AS dup{n}_frac"
+        )
+    joins = " ".join(f"LEFT JOIN a{n} USING (doc_id)" for n in ns)
+    return f"""
+WITH {_DOCS_CTE},
+{', '.join(ctes)}
+SELECT d.doc_id, {', '.join(sel)}
+FROM docs d {joins}
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top/dup n-gram token
+    coverage, n=2,3) — per-row sorted-run-length Catalyst aggregate, map-only
+    (no explode, no shuffle)."""
+    return repetition_features(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+# PII-scrub entry: the synthetic corpus is digit-free word soup, so both
+# engines deterministically INJECT the same contact strings (email always,
+# IPv4 on even ids, phone on ids % 3 == 0) before scrubbing — the oracle is
+# value-exact on redacted text AND per-rule match counts, never vacuous.
+_PII_INJ_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' via 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' tel +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def _pii_injected(spark, sf_dir):
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        d.cast("string"),
+        F.lit("@example.org"),
+        F.when(
+            d % 2 == 0, F.concat(F.lit(" via 10.0.0."), (d % 250).cast("string"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" tel +1 555-010-"), F.lpad((d % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+
+
+def _pii_sql() -> str:
+    steps, prev, names = [], "inj", []
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        carried = "".join(f"n_{n}, " for n in names)
+        names.append(name)
+        steps.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS text FROM {prev})"
+        )
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{n}" for n in names)
+    return f"""
+WITH inj AS (SELECT doc_id, {_PII_INJ_SQL} AS text FROM documents),
+{', '.join(steps)}
+SELECT doc_id, text, {cols} FROM {prev}
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails, IPv4, phone-shaped numbers) with per-rule match
+    counts — one map-only chain of regexp_count/regexp_replace expressions in
+    whole-stage codegen; patterns are Java-regex/RE2 portable by construction
+    (no lookarounds, no \\s)."""
+    return pii_scrub(_pii_injected(spark, sf_dir))
+
+
+# Boilerplate-line-removal entry: texts are single-line, so both engines
+# build the same multi-line input — a planted banner on every doc, lines
+# split on the shared ' join ' token, a second banner on ids % 4 == 0 —
+# then drop every line occurring >= BOILER_MIN_DF times corpus-wide.
+BOILER_MIN_DF = 5
+_BOILER_INJ_SQL = (
+    "'subscribe to updates' || chr(10) || replace(text, ' join ', chr(10)) || "
+    "CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'this site uses cookies' ELSE '' END"
+)
+
+
+def _boiler_injected(spark, sf_dir):
+    injected = F.concat(
+        F.lit("subscribe to updates\n"),
+        F.replace(F.col("text"), F.lit(" join "), F.lit("\n")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("\nthis site uses cookies")
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+
+
+def _boilerplate_sql() -> str:
+    return f"""
+WITH inj AS (SELECT doc_id, {_BOILER_INJ_SQL} AS text FROM documents),
+lines AS (SELECT doc_id, unnest(arr) AS line, unnest(range(1, len(arr)+1)) AS pos
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM inj)),
+freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= {BOILER_MIN_DF}),
+kept AS (SELECT doc_id, pos, line FROM lines WHERE line NOT IN (SELECT line FROM freq)),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """C4-style corpus-level boilerplate removal: drop every occurrence of
+    any line appearing >= min_df times across the corpus, reassemble docs
+    from surviving lines in order (empty text when nothing survives)."""
+    return remove_frequent_lines(_boiler_injected(spark, sf_dir), min_df=BOILER_MIN_DF)
+
+
+# Source-level (domain) quality profile + filter thresholds — chosen
+# non-vacuous on the synthetic corpus: mean_tokens >= 52 drops 6 of 20
+# sources (~30% of docs) at sf0.01; dup_rate is exact-dup based.
+SOURCE_MIN_MEAN_TOKENS = 52.0
+SOURCE_MAX_DUP_RATE = 0.5
+
+
+def _source_stats_sql() -> str:
+    stop = _sql_list(sorted(LUCENE_ENGLISH_STOPWORDS))
+    return f"""
+WITH sfeat AS (SELECT source, md5(text) AS h, len(toks) AS nt,
+    len(list_filter(toks, t -> list_contains({stop}, t))) AS ns
+  FROM (SELECT source, text, {_TOKS} AS toks FROM documents)),
+a AS (SELECT source, count(*) AS n_docs, count(DISTINCT h) AS ndist,
+      sum(nt) AS snt, sum(ns) AS sns FROM sfeat GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  {sql_r4('CAST(n_docs - ndist AS DOUBLE) / n_docs')} AS dup_rate,
+  {sql_r4('CAST(snt AS DOUBLE) / n_docs')} AS mean_tokens,
+  {sql_r4('CASE WHEN snt > 0 THEN CAST(sns AS DOUBLE) / snt ELSE 0.0 END')} AS stopword_ratio
+FROM a
+"""
+
+
+def _source_filter_sql() -> str:
+    return f"""
+SELECT d.doc_id, d.source
+FROM documents d JOIN ({_source_stats_sql()}) s USING (source)
+WHERE s.mean_tokens >= {SOURCE_MIN_MEAN_TOKENS} AND s.dup_rate <= {SOURCE_MAX_DUP_RATE}
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source quality profile (n_docs, exact-dup rate, mean tokens,
+    corpus stopword ratio) — every mean derives from integer sums, so values
+    are bit-identical across partitionings and vs the oracle."""
+    return source_stats(_docs(spark, sf_dir).select("source", "text"))
+
+
+def q_source_filter(spark, sf_dir):
+    """RefinedWeb-style domain filtering: keep docs only from sources whose
+    aggregate profile passes the thresholds (r4-exact comparisons)."""
+    return filter_by_source_stats(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+        max_dup_rate=SOURCE_MAX_DUP_RATE,
+        min_mean_tokens=SOURCE_MIN_MEAN_TOKENS,
+    ).select("doc_id", "source")
 
 
 # Training-mix sampling entry: per-language keep rates over lang_id strata
@@ -1108,6 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "training_mix": q_training_mix,
+        "repetition_quality": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate_lines": q_boilerplate_lines,
+        "source_stats": q_source_stats,
+        "source_filter": q_source_filter,
         "token_counts": q_token_counts,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1157,6 +1352,11 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_sql(),
         "decontaminate": _decontaminate_sql(),
         "training_mix": _training_mix_sql(),
+        "repetition_quality": _repetition_sql(),
+        "pii_scrub": _pii_sql(),
+        "boilerplate_lines": _boilerplate_sql(),
+        "source_stats": _source_stats_sql(),
+        "source_filter": _source_filter_sql(),
         "fingerprint": (
             f"WITH {_DOCS_CTE} SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM docs"
         ),

@@ -64,6 +64,10 @@ BENCH_QUERIES = (
     "curation_pipeline",
     "decontaminate",
     "training_mix",
+    "repetition_quality",
+    "pii_scrub",
+    "boilerplate_lines",
+    "source_filter",
     "embedding_cosine_topk",
     "ann_lsh_topk",
     "encode_knn",

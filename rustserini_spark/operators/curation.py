@@ -31,9 +31,12 @@ fixed-width regardless of document size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
+from rustserini_spark.functions.parity import r4
 from rustserini_spark.functions.text import (
+    _STOP_SORTED,
+    _count_in,
     lang_id_col,
     quality_features,
     with_tokens,
@@ -150,6 +153,227 @@ def ngram_decontaminate(
     corpus, so the anti-join broadcasts under AQE at any corpus size."""
     bad = ngram_contaminated_ids(docs, bench, n, text_col, id_col, bench_text_col)
     return docs.join(bad.select(F.col(id_col)), [id_col], "left_anti")
+
+
+def _rep_stats(shingles: Column) -> Column:
+    """struct(maxrun, dup) over a shingle array: maxrun = occurrence count of
+    the most frequent shingle, dup = total occurrences of shingles appearing
+    more than once. Computed as a run-length pass over the SORTED array — one
+    Catalyst ``aggregate`` per row, O(k log k), no explode, no shuffle."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("maxrun"),
+        zero.alias("dup"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        dup = F.when(x == acc["prev"], acc["dup"]).otherwise(
+            acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            dup.alias("dup"),
+        )
+
+    def fin(acc):
+        dup = acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+        return F.struct(acc["maxrun"].alias("maxrun"), dup.alias("dup"))
+
+    return F.aggregate(F.array_sort(shingles), acc0, step, fin)
+
+
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models", table A1 repetition filters — public): per document and
+    per n, the fraction of tokens covered by the single most frequent n-token
+    shingle (``top{n}_frac``) and by all shingles occurring more than once
+    (``dup{n}_frac``). Shingles overlap, so dup fractions can exceed 1.0 on
+    degenerate spam — callers threshold, they don't normalize. Docs shorter
+    than n tokens score 0.0. Fractions are r4-rounded for oracle parity.
+
+    100 TB plan shape: the whole computation is a per-row expression
+    (sorted-shingle run-length aggregate) in the SAME map-only projection as
+    the other quality features — no explode, no shuffle, no Python; a
+    corpus-scale scan emits exactly one row per doc."""
+    out = with_tokens(docs.select(id_col, text_col), text_col)
+    cols = [F.col(id_col)]
+    ntoks = F.greatest(F.size("toks"), F.lit(1))
+    for n in ns:
+        stats = _rep_stats(token_shingles(F.col("toks"), n))
+        cols.append(r4(F.lit(float(n)) * stats["maxrun"] / ntoks).alias(f"top{n}_frac"))
+        cols.append(r4(F.lit(float(n)) * stats["dup"] / ntoks).alias(f"dup{n}_frac"))
+    return out.select(*cols)
+
+
+# PII scrub rules: (name, pattern, replacement), applied IN ORDER. Patterns
+# deliberately avoid lookarounds, backreferences and \s (Java's \s includes
+# \x0b, RE2's does not) so the same pattern string runs identically under
+# Java regex (Spark executors) and RE2 (the DuckDB oracle).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IPV4>"),
+    ("phone", r"\+?\d[\d\- ]{7,14}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """Redact PII spans (emails, IPv4 addresses, phone-shaped numbers) from a
+    text column and report per-document match counts — the scrubbing step a
+    web-corpus pipeline runs before training-data release.
+
+    Rules apply sequentially; ``n_<name>`` counts rule matches on the text
+    AFTER all earlier rules were applied, so digits inside an
+    already-redacted email are never double-counted as a phone number, and
+    the counts are exactly the substitutions performed. Replacement tokens
+    contain no digits, so later rules cannot match inside them.
+
+    100 TB plan shape: one map-only projection — a chain of
+    ``regexp_count``/``regexp_replace`` expressions inside whole-stage
+    codegen. No shuffle, no Python, no UDF; scales linearly with the scan."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in rules:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(F.col(id_col), cur.alias(text_col), *counts)
+
+
+def remove_frequent_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal (Raffel et al. 2020, §2.2 —
+    public): drop EVERY occurrence of any line that appears at least
+    ``min_df`` times across the whole corpus ("subscribe to our newsletter",
+    cookie banners, nav text), then reassemble each document from its
+    surviving lines in original order. Documents whose every line is
+    boilerplate come back with empty text (callers drop them downstream).
+    ``sep`` must be a plain literal (it is used both to split and re-join).
+
+    100 TB plan shape: explode lines once; one hash aggregation on the line
+    value (map-side combined — a million-fold repeated banner collapses to
+    one row per map task) produces the frequent-line table, which is tiny
+    relative to the corpus and broadcasts under AQE; the anti-join then
+    consumes the exploded side map-side. The rebuild is one groupBy(id) of
+    the SURVIVING lines. No sort, no all-pairs, nothing quadratic."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line")
+    )
+    rebuilt = (
+        lines.join(freq, "line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, [id_col], "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (domain/host) quality profile — n_docs, exact-dup rate,
+    mean token count, corpus stopword ratio — the aggregation behind
+    RefinedWeb/C4-style DOMAIN-level filtering, where whole low-quality
+    sources are dropped rather than scoring every page in isolation.
+
+    Every mean derives from INTEGER per-doc sums (token counts, stopword
+    hits, distinct-text counts), so float summation order cannot perturb the
+    result: the values are bit-identical across Spark partitionings and the
+    DuckDB oracle. One groupBy(source) with map-side combine; countDistinct
+    adds the only extra exchange, keyed on (source, md5) — fixed-width
+    regardless of document size."""
+    feat = with_tokens(docs.select(source_col, text_col), text_col).select(
+        source_col,
+        F.md5(F.col(text_col)).alias("_h"),
+        F.size("toks").cast("long").alias("_nt"),
+        _count_in(F.col("toks"), _STOP_SORTED).cast("long").alias("_ns"),
+    )
+    agg = feat.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_h").alias("_ndist"),
+        F.sum("_nt").alias("_snt"),
+        F.sum("_ns").alias("_sns"),
+    )
+    return agg.select(
+        F.col(source_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        r4((F.col("n_docs") - F.col("_ndist")) / F.col("n_docs")).alias("dup_rate"),
+        r4(F.col("_snt") / F.col("n_docs")).alias("mean_tokens"),
+        r4(
+            F.when(F.col("_snt") > 0, F.col("_sns") / F.col("_snt")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("stopword_ratio"),
+    )
+
+
+def filter_by_source_stats(
+    docs: DataFrame,
+    max_dup_rate: float = 1.0,
+    min_mean_tokens: float = 0.0,
+    max_stopword_ratio: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Documents surviving source-level filtering: every doc from a source
+    whose aggregate profile passes ALL thresholds (compared on the same
+    r4-rounded values ``source_stats`` reports, so the survivor set is
+    engine-exact). The good-source table is one row per source — tiny next
+    to the corpus — so the semi-join broadcasts under AQE at any corpus
+    size; left unforced because host-level tables at full web scale can
+    exceed the broadcast budget, and the shuffle fallback keys on the same
+    column the stats aggregation already produced."""
+    good = (
+        source_stats(docs, text_col, source_col)
+        .filter(
+            (F.col("dup_rate") <= max_dup_rate)
+            & (F.col("mean_tokens") >= min_mean_tokens)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+        )
+        .select(source_col)
+    )
+    return docs.join(good, [source_col], "left_semi").select(
+        id_col, source_col, text_col
+    )
 
 
 def training_mix_sample(

@@ -100,6 +100,55 @@ def test_training_mix_is_deterministic_and_stratified(spark):
     assert training_mix_sample(docs, {"fr": 1.0}).count() == 0
 
 
+def test_repetition_features_score_planted_spam(spark):
+    from rustserini_spark.operators.curation import repetition_features
+
+    docs = local_rows_df(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam spam spam"),  # one 2-gram, 7 copies
+            (2, "every token here is fully distinct wording"),  # no repeats
+            (3, "ab cd ab cd ab cd ef"),  # "ab cd" x3, "cd ab" x2
+            (4, "x"),  # shorter than any n: all zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(docs).collect()}
+    # doc 1: 8 tokens, "spam spam" occurs 7x -> top2 = 2*7/8, dup2 identical
+    assert got[1].top2_frac == 1.75 and got[1].dup2_frac == 1.75
+    assert got[1].top3_frac == 2.25  # "spam spam spam" x6 -> 3*6/8
+    # doc 2: every shingle unique -> top = n/ntoks, dup = 0
+    assert got[2].dup2_frac == 0.0 and got[2].dup3_frac == 0.0
+    assert got[2].top2_frac == round(2 / 7, 4)
+    # doc 3: 7 tokens; "ab cd" x3, "cd ab" x2 -> top2 = 6/7, dup2 = 2*(3+2)/7
+    assert got[3].top2_frac == round(6 / 7, 4) and got[3].dup2_frac == round(10 / 7, 4)
+    assert got[4].top2_frac == 0.0 and got[4].dup3_frac == 0.0
+
+
+def test_entry_repetition_matches_duckdb_oracle(spark, sf_dir):
+    import __spark_entry__ as e
+
+    got = (
+        e.q_repetition(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = (
+        con.sql(e.oracle_sql()["repetition_quality"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    assert (got["dup2_frac"] > 0).any()  # non-vacuous on the synthetic corpus
+    for c in got.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+
+
 def test_entry_decontaminate_and_mix_match_duckdb_oracle(spark, sf_dir):
     import __spark_entry__ as e
 
@@ -134,3 +183,120 @@ def test_entry_curation_matches_duckdb_oracle(spark, sf_dir):
     assert len(got) == len(want) > 0
     for c in got.columns:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_pii_scrub_redacts_planted_spans(spark):
+    from rustserini_spark.operators.curation import pii_scrub
+
+    docs = local_rows_df(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.com now"),
+            (2, "server at 192.168.10.7 and 8.8.8.8 up"),
+            (3, "call +1 555-010-4242 today"),
+            (4, "plain text with no contact info at all"),
+            (5, "mix a@b.io then 10.0.0.1 then +44 20 7946 0958 end"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].text == "mail <EMAIL> now"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 0)
+    assert got[2].text == "server at <IPV4> and <IPV4> up"
+    assert got[2].n_ipv4 == 2
+    assert got[3].text == "call <PHONE> today" and got[3].n_phone == 1
+    assert got[4].text == "plain text with no contact info at all"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    assert got[5].text == "mix <EMAIL> then <IPV4> then <PHONE> end"
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_phone) == (1, 1, 1)
+
+
+def test_remove_frequent_lines_drops_corpus_boilerplate(spark):
+    from rustserini_spark.operators.curation import remove_frequent_lines
+
+    banner = "subscribe to our newsletter"
+    docs = local_rows_df(
+        spark,
+        [
+            (1, f"{banner}\nunique content one\nmore content one"),
+            (2, f"{banner}\nunique content two"),
+            (3, f"unique content three\n{banner}"),
+            (4, banner),  # all boilerplate -> empty text, row preserved
+            (5, "fully original document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in remove_frequent_lines(docs, min_df=3).collect()}
+    assert got[1] == "unique content one\nmore content one"  # order preserved
+    assert got[2] == "unique content two"
+    assert got[3] == "unique content three"
+    assert got[4] == ""
+    assert got[5] == "fully original document"
+    assert len(got) == 5
+
+
+def test_source_stats_and_filter_on_planted_sources(spark):
+    from rustserini_spark.operators.curation import (
+        filter_by_source_stats,
+        source_stats,
+    )
+
+    docs = local_rows_df(
+        spark,
+        [
+            (1, "good", "the quick brown fox jumps over the lazy dog daily"),
+            (2, "good", "people work with new ideas about life and the world"),
+            (3, "dupfarm", "buy cheap pills now"),
+            (4, "dupfarm", "buy cheap pills now"),
+            (5, "dupfarm", "buy cheap pills now"),
+            (6, "dupfarm", "one original page"),
+            (7, "tiny", "x y"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    stats = {r.source: r for r in source_stats(docs).collect()}
+    assert stats["good"].n_docs == 2 and stats["good"].dup_rate == 0.0
+    assert stats["good"].mean_tokens == 10.0  # (10 + 10) / 2 exact
+    assert stats["dupfarm"].dup_rate == 0.5  # 4 docs, 2 distinct texts
+    assert stats["tiny"].mean_tokens == 2.0
+    # 'good' stopwords (Lucene list): the x3 + with + and = 5 of 20 tokens
+    assert stats["good"].stopword_ratio == 0.25
+
+    kept = filter_by_source_stats(docs, max_dup_rate=0.4, min_mean_tokens=3.0)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_entry_webtext_curation_ops_match_duckdb_oracle(spark, sf_dir):
+    """pii_scrub / boilerplate_lines / source_stats / source_filter entries
+    vs their DuckDB oracles — value-exact, and each non-vacuous (something
+    was actually redacted / dropped / filtered)."""
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+
+    for key, fn in (
+        ("pii_scrub", e.q_pii_scrub),
+        ("boilerplate_lines", e.q_boilerplate_lines),
+        ("source_stats", e.q_source_stats),
+        ("source_filter", e.q_source_filter),
+    ):
+        got = fn(spark, sf_dir).toPandas()
+        want = con.sql(e.oracle_sql()[key]).df()
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), key
+        assert len(got) == len(want) > 0, key
+        for c in got.columns:
+            assert got[c].tolist() == want[c].tolist(), f"{key}.{c}"
+
+    # non-vacuity
+    pii = e.q_pii_scrub(spark, sf_dir).toPandas()
+    assert (pii["n_email"] > 0).all() and (pii["n_phone"] > 0).any()
+    assert pii["text"].str.contains("<EMAIL>").all()
+    boiler = {r.doc_id: r.text for r in e.q_boilerplate_lines(spark, sf_dir).collect()}
+    assert all("subscribe to updates" not in t for t in boiler.values())
+    assert all("this site uses cookies" not in t for t in boiler.values())
+    n_kept = e.q_source_filter(spark, sf_dir).count()
+    assert 0 < n_kept < n_docs

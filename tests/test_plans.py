@@ -147,3 +147,48 @@ def test_scan_prunes_columns(spark, sf_dir):
     plan = _plan(two)
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" not in m.group(1), plan[:800]
+
+
+def test_pii_scrub_is_map_only(spark, documents):
+    """PII scrubbing must be a pure projection over the scan: zero exchanges,
+    zero Python, and the scan reads only the two columns the op uses."""
+    from rustserini_spark.operators.curation import pii_scrub
+
+    plan = _plan(pii_scrub(documents))
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Python" not in plan, plan[:1200]
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_repetition_features_is_map_only(spark, documents):
+    from rustserini_spark.operators.curation import repetition_features
+
+    plan = _plan(repetition_features(documents))
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Python" not in plan, plan[:1200]
+
+
+def test_boilerplate_removal_has_no_corpus_sort_or_cartesian(spark, documents):
+    """remove_frequent_lines: line-count agg + anti-join + rebuild agg. The
+    anti-join must resolve as broadcast (the frequent-line table is tiny),
+    never a cartesian product, and nothing sorts the corpus globally."""
+    from rustserini_spark.operators.curation import remove_frequent_lines
+
+    df = remove_frequent_lines(documents, min_df=5)
+    df.collect()  # let AQE finalize join strategies from runtime stats
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]  # AQE broadcast the tiny freq side
+    assert "rangepartitioning" not in plan, plan[:1500]  # nothing globally sorts
+
+
+def test_source_filter_aggregates_once_and_semijoins(spark, documents):
+    """filter_by_source_stats: the stats side is one hash aggregation over
+    (source) and the survivor semi-join must not cartesian; no Python."""
+    from rustserini_spark.operators.curation import filter_by_source_stats
+
+    plan = _plan(filter_by_source_stats(documents, min_mean_tokens=50.0))
+    assert "Python" not in plan, plan[:1200]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan, plan[:1500]
