@@ -34,10 +34,12 @@ module brings the same segment model to Spark, plus a streaming front end:
   a batch replayed after a crash that is already covered by a merged segment
   is skipped — exactly-once survives a crash between merge and the stream's
   checkpoint commit. The merge commit is LOSS-PROOF ordered: the merged
-  segment turns visible (atomic rename) before the sources are reclaimed,
-  and readers drop superseded sources (batch set contained in another
-  segment's) so no crash point loses a checkpoint-committed batch or counts
-  one twice.
+  segment turns visible (atomic rename) first, readers drop superseded
+  sources (batch set contained in another segment's), and the superseded
+  source FILES are reclaimed only by the NEXT merge — a one-merge-cycle
+  grace period so in-flight readers holding lazy references to source
+  parquet survive the merge (query-while-ingesting stays safe). No crash
+  point loses a checkpoint-committed batch or counts one twice.
 """
 
 from __future__ import annotations
@@ -234,26 +236,48 @@ def merge_all_segments(
     The merged segment is built COMPLETELY in a hidden temp dir (no
     SEG_PREFIX, so readers never see it half-written), then committed in the
     LOSS-PROOF order: the temp dir is renamed to its final segment name
-    (turns visible atomically on POSIX) FIRST, and only then are the source
-    segments reclaimed (stats.json removed — the source turns invisible —
-    then the dir deleted). A crash before the rename loses nothing (sources
-    intact; the orphan temp dir is reclaimed by the next merge); a crash
-    after it leaves sources visible but SUPERSEDED — every reader goes
-    through ``_live_segments``, which drops segments whose batch set another
-    segment already covers, and the next merge deletes the leftover dirs. No
-    point of failure loses a checkpoint-committed batch or counts one twice.
-    (The previous protocol hid the sources BEFORE revealing the merged
-    segment; a crash between those two steps lost every batch the stream's
-    checkpoint would not replay.)"""
+    (turns visible atomically on POSIX) FIRST; the source segments are NOT
+    deleted by this merge at all — they stay on disk as SUPERSEDED (invisible
+    to every reader via ``_live_segments``) and are reclaimed only by the
+    NEXT merge's opening pass. This one-merge-cycle GRACE PERIOD is what
+    makes query-while-ingesting safe: a reader whose open_segmented_index
+    DataFrame still lazily references source parquet files survives the
+    merge that supersedes them — only a reader held across TWO full merge
+    cycles (>= 2x auto_compact_segments ingested batches) can ever observe a
+    reclaimed file. A crash before the rename loses nothing (sources intact;
+    the orphan temp dir is reclaimed by the next merge); a crash after it
+    leaves sources superseded, which is the steady state anyway. No point of
+    failure loses a checkpoint-committed batch or counts one twice. (The
+    round-4 protocol hid the sources BEFORE revealing the merged segment — a
+    crash between those two steps lost every batch the stream's checkpoint
+    would not replay; the round-5 protocol deleted sources immediately after
+    the rename, which broke in-flight readers.)
+
+    The opening reclaim pass also removes seg_* dirs LACKING stats.json:
+    those are by construction either half-deleted leftovers (a crash between
+    the stats.json remove and the rmtree) or crashed mid-writes — a complete
+    segment always has stats.json (written last). Merges are serialized with
+    segment writes (both run in the stream sink thread); callers invoking
+    merge_all_segments manually while a separate writer is mid-segment would
+    race that writer and must not."""
     import shutil
 
     live = _live_segments(base_dir)
-    # reclaim superseded leftovers from a crash inside a previous commit window
+    # GRACE-PERIOD RECLAIM: delete (a) segments superseded by a PREVIOUS
+    # merge — their readers have had a full merge cycle to drain — and
+    # (b) stats-less seg_* dirs (half-deleted or crashed mid-write; without
+    # this they leak forever, since _segments() never lists them).
     live_set = {s for s, _ in live}
-    for seg in _segments(base_dir):
-        if seg not in live_set:
-            os.remove(os.path.join(seg, "stats.json"))
-            shutil.rmtree(seg)
+    for d in sorted(os.listdir(base_dir)):
+        seg = os.path.join(base_dir, d)
+        if not d.startswith(SEG_PREFIX) or not os.path.isdir(seg):
+            continue
+        if seg in live_set:
+            continue
+        stats_path = os.path.join(seg, "stats.json")
+        if os.path.exists(stats_path):
+            os.remove(stats_path)  # turn invisible first; rmtree is not atomic
+        shutil.rmtree(seg)
     segs = [s for s, _ in live]
     if len(segs) < 2:
         return None
@@ -295,18 +319,15 @@ def merge_all_segments(
             f,
         )
 
-    # commit: reveal the merged segment FIRST (atomic rename), then reclaim
-    # the now-superseded sources (stats.json first, so the non-atomic rmtree
-    # is never observable as a half-deleted COMPLETE segment)
+    # commit: reveal the merged segment (atomic rename). The sources become
+    # SUPERSEDED — filtered out by every reader — but stay on disk until the
+    # next merge's reclaim pass (grace period for in-flight readers).
     final = os.path.join(
         base_dir, f"{SEG_PREFIX}{max(batches) if batches else 0:06d}m"
     )
     while os.path.exists(final):
         final += "m"
     os.rename(tmp, final)
-    for s in segs:
-        os.remove(os.path.join(s, "stats.json"))
-        shutil.rmtree(s)
     return final
 
 

@@ -162,8 +162,11 @@ def test_query_while_ingesting_matches_batch_over_prefix(
 
 def test_merge_all_segments_unit(spark, documents, tmp_path_factory):
     """In-place merge: two segments collapse to one whose search-visible
-    content (doc count, coverage) is the union; single segment = no-op."""
+    content (doc count, coverage) is the union. The sources stay on disk
+    (superseded — invisible to readers) for one merge cycle as the
+    in-flight-reader grace period; the NEXT merge reclaims them."""
     from rustserini_spark.streaming.incremental import (
+        _live_segments,
         _segments,
         covered_batches,
         merge_all_segments,
@@ -178,13 +181,41 @@ def test_merge_all_segments_unit(spark, documents, tmp_path_factory):
     write_segment(
         spark, docs.filter(F.col("doc_id") % 2 == 1), f"{segs}/seg_000001", batches=[1]
     )
+    # a reader opened BEFORE the merge, lazily referencing the source files
+    pre_merge_reader = open_segmented_index(spark, segs)
     new = merge_all_segments(spark, segs)
     assert new is not None and os.path.basename(new) == "seg_000001m"
-    assert _segments(segs) == [new]
+    # grace period: sources still complete on disk, but invisible to readers
+    assert len(_segments(segs)) == 3
+    assert [os.path.basename(s) for s, _ in _live_segments(segs)] == ["seg_000001m"]
     assert covered_batches(segs) == {0, 1}
     merged = open_segmented_index(spark, segs)
     assert merged.n_docs == documents.count()
-    assert merge_all_segments(spark, segs) is None  # nothing left to merge
+    # the pre-merge reader survives the merge that superseded its sources
+    assert pre_merge_reader.doclen.count() == documents.count()
+    # next merge: reclaims the superseded sources, nothing left to merge
+    assert merge_all_segments(spark, segs) is None
+    assert _segments(segs) == [new]
+    assert not os.path.exists(f"{segs}/seg_000000")
+
+
+def test_merge_reclaims_statsless_orphan_dirs(spark, documents, tmp_path_factory):
+    """A seg_* dir lacking stats.json (crash between the stats remove and the
+    rmtree, or a crashed mid-write) is reclaimed by the next merge's opening
+    pass instead of leaking forever (_segments never lists it)."""
+    from rustserini_spark.streaming.incremental import (
+        _segments,
+        merge_all_segments,
+        write_segment,
+    )
+
+    segs = str(tmp_path_factory.mktemp("statsless"))
+    docs = documents.select("doc_id", "text")
+    write_segment(spark, docs, f"{segs}/seg_000000", batches=[0])
+    os.makedirs(f"{segs}/seg_000009/postings")  # half-deleted / crashed write
+    assert merge_all_segments(spark, segs) is None  # 1 live segment: no-op merge
+    assert not os.path.exists(f"{segs}/seg_000009")  # ...but the orphan is gone
+    assert [os.path.basename(s) for s in _segments(segs)] == ["seg_000000"]
 
 
 def test_auto_compaction_policy_triggers_and_preserves_results(
@@ -209,7 +240,9 @@ def test_auto_compaction_policy_triggers_and_preserves_results(
         )
 
     start().awaitTermination(600)
-    live = _segments(segs)
+    from rustserini_spark.streaming.incremental import _live_segments
+
+    live = [s for s, _ in _live_segments(segs)]
     assert len(live) < 4  # 4 batches arrived; the policy merged at 3
     assert any(os.path.basename(s).endswith("m") for s in live)
     assert covered_batches(segs) == {0, 1, 2, 3}
@@ -304,4 +337,7 @@ def test_merge_crash_before_rename_is_harmless(spark, documents, tmp_path_factor
     assert open_segmented_index(spark, segs).n_docs == documents.count()
     new = merge_all_segments(spark, segs)
     assert new is not None and not os.path.exists(f"{segs}/_merge_tmp")
-    assert _segments(segs) == [new]
+    from rustserini_spark.streaming.incremental import _live_segments
+
+    assert [s for s, _ in _live_segments(segs)] == [new]
+    assert len(_segments(segs)) == 3  # sources kept for the grace period
