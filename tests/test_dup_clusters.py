@@ -118,3 +118,22 @@ def test_clusters_over_real_simhash_pairs(spark, documents):
     originals = [r.doc_id for r in docs.collect()]
     for i in originals:
         assert got.get(i + 1000) == got.get(i + 2000) == got.get(i, i)
+
+
+def test_dup_clusters_raises_when_max_iters_exhausted(spark):
+    # a 4-edge chain cannot converge in one round; silent non-converged
+    # labels would corrupt keeper resolution downstream, so it must raise
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iters=1)
+
+
+def test_dup_clusters_frees_superseded_checkpoints(spark):
+    """Each round localCheckpoints a new labels snapshot; superseded ones
+    (and the edge checkpoint) must be unpersisted — only the RETURNED labels
+    may stay in executor storage (their lineage is truncated)."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    out = dup_clusters(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]))
+    assert out.count() == 7
+    growth = sc._jsc.getPersistentRDDs().size() - before
+    assert growth <= 1, f"{growth} persisted RDDs accumulated (expected only the result)"
