@@ -751,9 +751,20 @@ _ORACLE_SIDE_DIR = "/tmp/rustserini_oracle"
 # queries() at (sf0.01 per the driver contract); overridable via env so a
 # different correctness scale re-points BOTH sides together.
 _ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-_ORACLE_SF_TAG = os.path.basename(_ORACLE_SF_DIR.rstrip("/")).replace(".", "")
-_PORTER_TOKENS_PATH = f"{_ORACLE_SIDE_DIR}/porter_tokens_{_ORACLE_SF_TAG}.parquet"
-_HASH_VECTORS_PATH = f"{_ORACLE_SIDE_DIR}/hash_vectors_{_ORACLE_SF_TAG}.parquet"
+
+
+def _side_paths(sf_dir: str) -> tuple[str, str]:
+    """(porter_tokens, hash_vectors) side-parquet paths for a scale factor —
+    tagged by sf so oracles at different scales never read each other's
+    dumps."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "")
+    return (
+        f"{_ORACLE_SIDE_DIR}/porter_tokens_{tag}.parquet",
+        f"{_ORACLE_SIDE_DIR}/hash_vectors_{tag}.parquet",
+    )
+
+
+_PORTER_TOKENS_PATH, _HASH_VECTORS_PATH = _side_paths(_ORACLE_SF_DIR)
 ENCODE_DIM = 32
 ENCODE_K = 5
 ENCODE_QUERY_MAX_ID = 4
@@ -824,10 +835,13 @@ def _porter_query_values() -> str:
     return ", ".join(vals)
 
 
-def _bm25_porter_sql(k1: float = 0.9, b: float = 0.4, k: int = BM25_K) -> str:
-    _dump_porter_tokens()
+def _bm25_porter_sql(
+    k1: float = 0.9, b: float = 0.4, k: int = BM25_K, sf_dir: str = _ORACLE_SF_DIR
+) -> str:
+    tokens_path = _side_paths(sf_dir)[0]
+    _dump_porter_tokens(sf_dir, tokens_path)
     return f"""
-WITH tok AS (SELECT doc_id, term FROM read_parquet('{_PORTER_TOKENS_PATH}')),
+WITH tok AS (SELECT doc_id, term FROM read_parquet('{tokens_path}')),
 dl AS (SELECT d.doc_id, count(t.term) AS dl
        FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY d.doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -852,14 +866,15 @@ SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _encode_knn_sql(k: int = ENCODE_K) -> str:
-    _dump_hash_vectors()
+def _encode_knn_sql(k: int = ENCODE_K, sf_dir: str = _ORACLE_SF_DIR) -> str:
+    vectors_path = _side_paths(sf_dir)[1]
+    _dump_hash_vectors(sf_dir, vectors_path)
     cos = (
         "list_inner_product(qvec, cvec) / "
         "(sqrt(list_inner_product(qvec, qvec)) * sqrt(list_inner_product(cvec, cvec)))"
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding FROM read_parquet('{_HASH_VECTORS_PATH}')),
+WITH v AS (SELECT vec_id, embedding FROM read_parquet('{vectors_path}')),
 q AS (SELECT vec_id AS qid, embedding AS qvec FROM v WHERE vec_id < {ENCODE_QUERY_MAX_ID}),
 c AS (SELECT vec_id, embedding AS cvec FROM v),
 s AS (SELECT qid, vec_id, {sql_r4(cos)} AS cos FROM c CROSS JOIN q)
@@ -951,12 +966,54 @@ def _rerank_rounded(res: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _rerank_rounded_adaptive(search_fn, k: int) -> DataFrame:
+    """Boundary-safe rounded top-k against a FULL-ranking oracle (round-5
+    verdict #7 / round-4 ADVICE #5): the oracle ranks every matching doc by
+    the r4-rounded score while the engine re-ranks a raw-score top-``cut``.
+    A fixed cut silently disagrees if more than ``cut - k`` docs round-tie
+    inside the rank-k boundary bucket. This wrapper PROVES the cut sufficed,
+    per qid, and quadruples it until it does:
+
+      * n_retrieved < cut — the qid's full matching set was retrieved; any
+        ranking of it is exact.
+      * r4(min raw score retrieved) < r4(score at rounded rank k) — every
+        unretrieved doc has raw score <= the retrieved minimum (exact raw
+        top-cut), and r4 is monotone, so nothing beyond the cut can round
+        into (or tie) the rank-k boundary bucket.
+
+    Ties AT the cut share the same r4 value and fail the strict check, so
+    they correctly force an extension. The probe is one ~n_queries-row
+    collect per attempt; the first cut succeeds on anything but a degenerate
+    rounded-tie fixture, so the steady-state cost is one extra tiny agg."""
+    cut = max(50, k * 5)
+    while True:
+        res = search_fn(cut)
+        full = _rerank_rounded(res, cut)
+        probe = (
+            full.groupBy("qid")
+            .agg(
+                F.max("rank").alias("n"),
+                F.min("score_r").alias("min_r"),
+                F.max(F.when(F.col("rank") == k, F.col("score_r"))).alias("bound_r"),
+            )
+            .collect()
+        )
+        safe = all(
+            row["n"] < cut or row["bound_r"] is None or row["min_r"] < row["bound_r"]
+            for row in probe
+        )
+        if safe:
+            return _rerank_rounded(res, k)
+        cut *= 4
+
+
 def q_bm25_topk_simple(spark, sf_dir):
     """Full engine (salted block-compressed index + block-max pruned search)
     in SQL-parity analyzer mode, checked against a brute-force DuckDB BM25."""
     index = build_index(spark, _docs(spark, sf_dir), analyzer="simple")
-    res = bm25_search_pruned(index, _queries_df(spark), k=max(50, BM25_K * 5))
-    return _rerank_rounded(res, BM25_K)
+    return _rerank_rounded_adaptive(
+        lambda cut: bm25_search_pruned(index, _queries_df(spark), k=cut), BM25_K
+    )
 
 
 def q_bm25_topk_porter(spark, sf_dir):
@@ -965,15 +1022,15 @@ def q_bm25_topk_porter(spark, sf_dir):
     the SAME Python analyzer's (doc_id, term) relation (stemming itself is
     not SQL; it is gated by the Porter golden tests).
 
-    Candidate-cut margin: the oracle ranks ALL docs by the r4-rounded score
-    while this side re-ranks the raw-score top-50 (5x the reported k=10). The
-    two can only disagree if >40 docs round-tie within one 1e-4 bucket at the
-    rank-10 boundary — BM25 sums over 500 distinct-length synthetic docs never
-    produce ties that wide (the driver's hash gate would catch it loudly if a
-    future fixture did)."""
+    Candidate-cut safety: the oracle ranks ALL docs by the r4-rounded score;
+    this side starts from the raw-score top-50 and the adaptive wrapper
+    PROVES per qid that nothing beyond the cut can round into the rank-k
+    boundary bucket, extending the cut otherwise (round-4 ADVICE #5 — the
+    old fixed cut argued a 5x margin instead of checking it)."""
     index = build_index(spark, _docs(spark, sf_dir), analyzer="porter")
-    res = bm25_search_pruned(index, _queries_df(spark), k=max(50, BM25_K * 5))
-    return _rerank_rounded(res, BM25_K)
+    return _rerank_rounded_adaptive(
+        lambda cut: bm25_search_pruned(index, _queries_df(spark), k=cut), BM25_K
+    )
 
 
 FIELD_BOOSTS = {"text": 1.0, "source": 2.0}
@@ -1045,7 +1102,9 @@ def q_bm25_topk_topics(spark, sf_dir):
             f.write(f"{qid}\t{q}\n")
     qdf = queries_from_topics(read_topics_tsv(spark, f"{d}/topics.tsv"))
     index = build_index(spark, _docs(spark, sf_dir), analyzer="simple")
-    return _rerank_rounded(bm25_search_pruned(index, qdf, k=max(50, BM25_K * 5)), BM25_K)
+    return _rerank_rounded_adaptive(
+        lambda cut: bm25_search_pruned(index, qdf, k=cut), BM25_K
+    )
 
 
 def q_encode_knn(spark, sf_dir):
@@ -1222,6 +1281,73 @@ def q_lsh_neardup(spark, sf_dir):
     return lsh_neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.95, n_planes=8)
 
 
+def _media_df(spark, sf_dir):
+    """Deterministic media table: the documents' UTF-8 bytes as the opaque
+    binary payload (no codec libs here, and the multimodal plumbing is
+    byte-agnostic by design — the binary column's PROVENANCE is irrelevant to
+    the schema/partitioning/UDF contract being checked)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("media")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (Arrow map-only pass over binary media)
+    with the deterministic stand-in kernel — which is exactly
+    oracle-replayable: feature j = float32(u32_le(sha256-tiled bytes
+    [4j,4j+4)) / (2^32-1)). Exploded to one row per (media, feature index) so
+    the driver hash compares scalar doubles, not float arrays."""
+    from rustserini_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media_df(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "content_hash",
+        F.posexplode("features").alias("feat_idx", "feat"),
+    ).select(
+        "media_id",
+        "media_type",
+        "content_hash",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        r4(F.col("feat").cast("double")).alias("feat"),
+    )
+
+
+def q_media_dedup(spark, sf_dir):
+    """Exact binary media dedup: JVM-side sha2(media, 256) hash-agg with
+    map-side combine — (content_hash, n_dups, keeper)."""
+    from rustserini_spark.operators.multimodal import media_exact_dedup
+
+    return media_exact_dedup(_media_df(spark, sf_dir))
+
+
+def _media_features_sql() -> str:
+    from rustserini_spark.operators.multimodal import FEATURE_DIM
+
+    # little-endian uint32 from the tiled-digest hex at byte offset 4*feat_idx
+    le_hex = " || ".join(
+        f"substr(h2, 8*feat_idx+{p}, 2)" for p in (7, 5, 3, 1)
+    )
+    feat = f"CAST(CAST(CAST(('0x' || {le_hex}) AS BIGINT) / 4294967295.0 AS FLOAT) AS DOUBLE)"
+    return f"""
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS content_hash FROM documents),
+hh AS (SELECT media_id, content_hash, content_hash || content_hash AS h2 FROM h),
+e AS (SELECT media_id, content_hash, h2,
+             unnest(generate_series(0, {FEATURE_DIM - 1})) AS feat_idx FROM hh)
+SELECT media_id, 'image' AS media_type, content_hash,
+       CAST(feat_idx AS BIGINT) AS feat_idx, {sql_r4(feat)} AS feat
+FROM e
+"""
+
+
+def _media_dedup_sql() -> str:
+    return (
+        "SELECT sha256(text) AS content_hash, count(*) AS n_dups, "
+        "min(doc_id) AS keeper FROM documents GROUP BY sha256(text)"
+    )
+
+
 def q_embedding_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     res = cosine_topk(emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), k=10)
@@ -1312,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "neardup_dedup": q_neardup_dedup,
         "lsh_neardup": q_lsh_neardup,
+        "media_features": q_media_features,
+        "media_dedup": q_media_dedup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dot_topk": q_embedding_dot_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1320,16 +1448,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    # The two side-table oracles dump a driver-computed parquet from
-    # _ORACLE_SF_DIR; if that path is absent (correctness running at some
-    # other scale without SPARK_GRAFT_ORACLE_SF_DIR re-pointed), OMIT those
-    # two entries — the driver then records a rows-only check for them —
-    # rather than raising and invalidating every other oracle in this dict.
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    # The two side-table oracles dump a driver-computed parquet from the
+    # sf dir the queries run at. The driver calls oracle_sql() with no args
+    # at its contract scale (sf0.01 = the _ORACLE_SF_DIR default); local
+    # runs at any other scale pass sf_dir (or set SPARK_GRAFT_ORACLE_SF_DIR)
+    # so the side oracles FOLLOW the scale factor instead of silently
+    # skipping (round-5 verdict #8). If the resolved dir is absent, OMIT the
+    # two side entries — the driver then records a rows-only check for them
+    # — rather than raising and invalidating every other oracle in this dict.
+    sf_dir = sf_dir or _ORACLE_SF_DIR
     side: dict[str, str] = {}
-    if os.path.isdir(_ORACLE_SF_DIR) or os.path.isfile(_ORACLE_SF_DIR):
-        side["bm25_topk_porter"] = _bm25_porter_sql()
-        side["encode_knn"] = _encode_knn_sql()
+    if os.path.isdir(sf_dir) or os.path.isfile(sf_dir):
+        side["bm25_topk_porter"] = _bm25_porter_sql(sf_dir=sf_dir)
+        side["encode_knn"] = _encode_knn_sql(sf_dir=sf_dir)
     return {
         **side,
         "term_frequency": f"WITH {_DOCS_CTE}, {_TF_CTE} SELECT doc_id, term, tf FROM tf",
@@ -1369,6 +1501,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_sql(SIMHASH_MAX_HAMMING),
         "neardup_dedup": _neardup_dedup_sql(SIMHASH_MAX_HAMMING),
         # lsh_neardup: approximate (bucketed) — rows-only check.
+        "media_features": _media_features_sql(),
+        "media_dedup": _media_dedup_sql(),
         "embedding_cosine_topk": _emb_topk_sql(_EMB_COS, "cos"),
         "embedding_dot_topk": _emb_topk_sql("list_inner_product(qvec, cvec)", "dot"),
         "embedding_neardup": _emb_neardup_sql(),

@@ -161,10 +161,16 @@ def main() -> None:
     leaked_after_rep = []
     for _ in range(REPS):
         reps.append(run_suite(spark, docs, queries_df, entry_mod, ckpt_dir))
-        # cache audit: nothing may stay persisted across reps
-        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
-        leaked_after_rep.append(int(n_cached))
-        if n_cached:
+        # cache audit: nothing may stay persisted across reps. Remediation
+        # unpersists the ACTUAL leaked RDD entries — catalog.clearCache()
+        # only evicts SQL-catalog-cached plans and would leave RDD-level
+        # persists/localCheckpoints (the very things the audit counts) alive
+        # into the next rep.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        leaked_after_rep.append(int(jmap.size()))
+        if jmap.size():
+            for k in jmap.keySet().toArray():
+                jmap.get(k).unpersist(False)
             spark.catalog.clearCache()
     shutil.rmtree(ckpt_dir, ignore_errors=True)
 

@@ -252,3 +252,34 @@ def test_maxscore_head_term_decode_bound():
     assert cache.n_blocks_decoded <= n_matched_blocks // 8, (
         cache.n_blocks_decoded, n_matched_blocks,
     )
+
+
+def test_adaptive_cut_survives_boundary_rounded_ties(spark):
+    """Property test for the adaptive candidate cut (round-4 ADVICE #5):
+    60 docs whose raw BM25 scores differ only in the 8th decimal (one query
+    term, tf=1, document lengths ~10k differing by one token) all round-tie
+    at r4 — and the RAW ordering is the REVERSE of the doc_id tie-break the
+    rounded ranking uses. A fixed raw-score top-50 cut therefore excludes
+    exactly the 10 documents the rounded oracle ranks first; the adaptive
+    wrapper must detect the boundary tie (min retrieved r4 == rank-k r4),
+    extend the cut, and return the oracle's answer."""
+    import __spark_entry__ as e
+
+    # doc_id 0 gets the LONGEST doc (lowest raw score) ... doc_id 59 the
+    # shortest (highest): raw top-50 = doc_ids 10..59, rounded top-10 = 0..9
+    rows = [
+        (i, "manhattan " + " ".join(f"filler{j:05d}" for j in range(10000 + (59 - i))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    index = build_index(spark, docs, analyzer="simple")
+    qdf = spark.createDataFrame(pd.DataFrame([("q0", "manhattan")], columns=["qid", "query"]))
+
+    # precondition: the naive fixed-cut answer is actually wrong on this corpus
+    naive = bm25_search_pruned(index, qdf, k=50)
+    assert min(r.doc_id for r in naive.collect()) == 10
+
+    got = e._rerank_rounded_adaptive(lambda cut: bm25_search_pruned(index, qdf, k=cut), 10)
+    assert sorted((r.rank, r.doc_id) for r in got.collect()) == [
+        (k, k - 1) for k in range(1, 11)
+    ]

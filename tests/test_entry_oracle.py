@@ -69,3 +69,21 @@ def test_entry_smoke(spark):
     assert {"q0", "q1", "q2", "q3", "q4"} <= qids
     for r in rows:
         assert not math.isnan(r.score)
+
+
+def test_side_oracles_follow_sf_dir(spark):
+    """oracle_sql(sf_dir=...) re-points the porter/encode SIDE-TABLE dumps to
+    the requested scale factor (round-5 verdict #8) — previously they pinned
+    to sf0.01 and silently skipped at any other scale. Green here = side
+    oracles value-exact at a non-default sf."""
+    alt = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{alt}/{t}.parquet'")
+    oracles = entry_mod.oracle_sql(sf_dir=alt)
+    for name in ("bm25_topk_porter", "encode_knn"):
+        sdf = _normalize(ALL_QUERIES[name](spark, alt).toPandas())
+        odf = _normalize(con.sql(oracles[name]).df())
+        assert list(sdf.columns) == list(odf.columns)
+        assert len(sdf) == len(odf) > 0
+        pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, atol=1e-9, rtol=0)
