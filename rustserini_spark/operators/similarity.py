@@ -78,6 +78,47 @@ def _stack(series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def batch_topk_frame(
+    ids: np.ndarray,
+    m: np.ndarray,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    qn: np.ndarray,
+    metric: str,
+    k: int,
+    out: str,
+) -> pd.DataFrame:
+    """One BLAS matmul batch -> its per-query top-k rows (the shared scoring
+    kernel of the brute-force and fused encode+score paths — one body so the
+    two are float-identical by construction)."""
+    s = m @ qmat.T  # (n_batch, n_queries)
+    if metric == "cos":
+        cn = np.sqrt((m * m).sum(axis=1))
+        s = s / (cn[:, None] * qn[None, :])
+    s = _r4_np(s)
+    take = min(k, ids.size)
+    out_q, out_id, out_s = [], [], []
+    for j in range(qids.size):
+        top = np.lexsort((ids, -s[:, j]))[:take]
+        out_q.append(np.full(take, qids[j], dtype=np.int64))
+        out_id.append(ids[top])
+        out_s.append(s[top, j])
+    return pd.DataFrame(
+        {
+            "qid": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            out: np.concatenate(out_s),
+        }
+    )
+
+
+def topk_window(partial: DataFrame, k: int, out: str) -> DataFrame:
+    """Global top-k merge over per-batch partials: rounded-score desc, vec_id
+    asc tie-break (the Lucene ordering the BM25 path uses too)."""
+    w = Window.partitionBy("qid").orderBy(F.desc(out), F.asc("vec_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _matmul_topk_factory(qids: np.ndarray, qmat: np.ndarray, metric: str, k: int, id_col: str, vec_col: str, out: str):
     """mapInPandas generator: one BLAS matmul per Arrow batch, emit only the
     per-batch top-k per query (global top-k ⊆ union of batch top-ks)."""
@@ -89,25 +130,7 @@ def _matmul_topk_factory(qids: np.ndarray, qmat: np.ndarray, metric: str, k: int
                 continue
             ids = pdf[id_col].to_numpy().astype(np.int64)
             m = _stack(pdf[vec_col])
-            s = m @ qmat.T  # (n_batch, n_queries)
-            if metric == "cos":
-                cn = np.sqrt((m * m).sum(axis=1))
-                s = s / (cn[:, None] * qn[None, :])
-            s = _r4_np(s)
-            take = min(k, ids.size)
-            out_q, out_id, out_s = [], [], []
-            for j in range(qids.size):
-                top = np.lexsort((ids, -s[:, j]))[:take]
-                out_q.append(np.full(take, qids[j], dtype=np.int64))
-                out_id.append(ids[top])
-                out_s.append(s[top, j])
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_id),
-                    out: np.concatenate(out_s),
-                }
-            )
+            yield batch_topk_frame(ids, m, qids, qmat, qn, metric, k, out)
 
     return gen
 
@@ -123,8 +146,7 @@ def _brute_topk(
     partial = corpus.select(id_col, vec_col).mapInPandas(
         _matmul_topk_factory(qids, qmat, metric, k, id_col, vec_col, out), schema
     )
-    w = Window.partitionBy("qid").orderBy(F.desc(out), F.asc("vec_id"))
-    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_window(partial, k, out)
 
 
 def cosine_topk(

@@ -175,3 +175,40 @@ def test_encoder_golden_vectors_first10():
     assert not np.allclose(mean[0], mean[1])
     # rows are L2-normalized (auto.rs:200-206)
     np.testing.assert_allclose(np.linalg.norm(mean, axis=1), 1.0, atol=1e-6)
+
+
+def test_encode_topk_fused_matches_composition(spark, documents):
+    """The fused encode+score pass (encode_topk) must be HASH-identical to
+    encode_documents ∘ cosine_topk — same float32 encode, same float64 widen,
+    same shared r4 top-k kernel. Exact equality, not tolerance."""
+    from rustserini_spark.operators.encode import encode_topk
+    from rustserini_spark.session import local_rows_df
+
+    enc = HashingEncoder(dim=16)
+    docs = documents.select("doc_id", "text")
+    emb = encode_documents(docs, enc, id_col="doc_id").withColumn(
+        "vec_id", F.col("vec_id").cast("long")
+    )
+    qpairs = sorted(
+        (int(r.doc_id), r.text) for r in docs.filter(F.col("doc_id") < 3).collect()
+    )
+    qmat = enc.encode_batch([sanitize_str("" if t is None else str(t)) for _, t in qpairs])
+    queries = local_rows_df(
+        spark,
+        [(i, [float(x) for x in v]) for (i, _), v in zip(qpairs, qmat)],
+        "vec_id long, embedding array<float>",
+    )
+    unfused = {(r.qid, r.vec_id, r.cos, r.rank) for r in cosine_topk(emb, queries, k=7).collect()}
+    fused = {
+        (r.qid, r.vec_id, r.cos, r.rank)
+        for r in encode_topk(docs, enc, qpairs, k=7, id_col="doc_id").collect()
+    }
+    assert fused == unfused and len(fused) == 21
+
+
+def test_encode_topk_rejects_non_integral_id(spark):
+    from rustserini_spark.operators.encode import encode_topk
+
+    df = spark.createDataFrame(pd.DataFrame(CORPUS, columns=["docid", "text", "title"]))
+    with pytest.raises(TypeError, match="integral"):
+        encode_topk(df, HashingEncoder(dim=8), [(0, "x")], id_col="docid")
