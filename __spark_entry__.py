@@ -39,6 +39,7 @@ from rustserini_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     neardup_dedup,
     simhash_dedup_groups,
@@ -142,7 +143,8 @@ SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_band_ctes(src: str = "sh") -> str:
+    """sig + bands CTE text replaying the 16x8 banding over shingle CTE ``src``."""
     mins = ", ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASHES)
     )
@@ -153,14 +155,50 @@ def _minhash_sql() -> str:
         + ")) AS band_hash FROM sig"
         for bi in range(N_BANDS)
     )
-    return f"""
-WITH {_DOCS_CTE},
-{_SH_CTE},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({band_selects})
+    return f"sig AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id),\nbands AS ({band_selects})"
+
+
+_MINHASH_CAND_SELECT = """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_DOCS_CTE},
+{_SH_CTE},
+{_minhash_band_ctes()}
+{_MINHASH_CAND_SELECT}
+"""
+
+
+def _minhash_verified_sql(threshold: float = 0.8) -> str:
+    """LSH candidates exact-verified: the DuckDB mirror of
+    dedup.minhash_verified_pairs. ``sh`` is referenced by the signature agg,
+    the size agg, and both branches of the candidate-restricted common-count —
+    MATERIALIZED stops DuckDB inlining it 4x (round-5 gotcha: non-materialized
+    CTEs are inlined per reference)."""
+    return f"""
+WITH {_DOCS_CTE},
+{_SH_CTE},
+shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+{_minhash_band_ctes('shm')},
+cand AS MATERIALIZED ({_MINHASH_CAND_SELECT}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shm GROUP BY doc_id),
+common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+           FROM cand c
+           JOIN shm a ON a.doc_id = c.doc_a
+           JOIN shm b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+           GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         {sql_r4('CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)')} AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+WHERE jaccard >= {threshold}
 """
 
 
@@ -1229,6 +1267,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def q_minhash_verified_pairs(spark, sf_dir):
+    """Composed scale path for near-dup detection: banded-LSH candidate pairs
+    exact-verified with shingle-set Jaccard computed on candidates only —
+    O(candidates x shingles) instead of the inverted join's O(sum df^2)."""
+    return minhash_verified_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
 def q_simhash_groups(spark, sf_dir):
     return simhash_dedup_groups(_docs(spark, sf_dir))
 
@@ -1431,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_filter": q_source_filter,
         "token_counts": q_token_counts,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash_groups": q_simhash_groups,
@@ -1494,6 +1540,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         ),
         "token_counts": _token_counts_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
+        "minhash_verified_pairs": _minhash_verified_sql(),
         "ngram_jaccard_pairs": _jaccard_sql(),
         "ngram_jaccard_capped": _jaccard_sql(max_shingle_df=JACCARD_DF_CAP),
         "simhash_groups": _simhash_sql(),

@@ -53,6 +53,7 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 BENCH_QUERIES = (
     "exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
     "simhash_groups",

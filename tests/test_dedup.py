@@ -5,8 +5,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from rustserini_spark.operators.dedup import (
+    build_minhash_table,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_dedup_groups,
     simhash_neardup_pairs,
@@ -62,6 +64,35 @@ def test_lsh_composes_with_exact_verify(dup_docs):
     got = {(r.doc_a, r.doc_b) for r in verified.collect()}
     assert (0, 1) in got
     assert all(a < b for a, b in got)
+
+
+def test_minhash_verified_pairs_matches_manual_composition(dup_docs):
+    # the named composed op == candidates ∩ exact jaccard, with exact scores
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_verified_pairs(dup_docs, threshold=0.5).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(dup_docs).collect()}
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+    }
+    assert got == {p: j for p, j in exact.items() if p in cand}
+    assert got[(0, 1)] == 1.0  # identical docs: exact score survives verify
+
+
+def test_minhash_verified_pairs_with_sig_and_cap(dup_docs, tmp_path):
+    # the scale form: materialized signature table + bucket cap; identical
+    # docs still verify (every band collides, buckets stay tiny here)
+    sig = build_minhash_table(dup_docs, str(tmp_path / "mh"))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_verified_pairs(
+            dup_docs, threshold=0.9, sig=sig, max_bucket=16
+        ).collect()
+    }
+    assert (0, 1) in got
+    assert not any(3 in p or 4 in p for p in got)
 
 
 def test_simhash_groups_identical_docs(dup_docs):
