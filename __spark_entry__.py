@@ -37,9 +37,11 @@ from rustserini_spark.functions.text import (
 )
 from rustserini_spark.operators.dedup import (
     dup_clusters,
+    duplicate_span_stats,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_verified_pairs,
+    strip_duplicate_spans,
     ngram_jaccard_pairs,
     neardup_dedup,
     simhash_dedup_groups,
@@ -226,6 +228,56 @@ SELECT doc_a, doc_b, jaccard FROM (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b)
 WHERE jaccard >= {threshold}
+"""
+
+
+def _span_ctes(w: int) -> str:
+    """Raw-whitespace tokenization + w-token window occurrences (1-based pos),
+    mirroring dedup._ws_tokens/_span_occurrences. MATERIALIZED: occ feeds
+    both the per-hash window agg and the per-doc joins."""
+    return f"""
+wdocs AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents),
+occ AS MATERIALIZED (
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+{w - 1}], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {w} + 2)) AS i FROM wdocs))"""
+
+
+def _span_stats_sql(w: int) -> str:
+    return f"""
+WITH {_span_ctes(w)},
+counts AS (SELECT h, count(*) AS occ_n FROM occ GROUP BY h),
+stats AS (SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(CASE WHEN occ_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+          FROM occ JOIN counts USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.dup_spans, 0) AS dup_spans,
+       {sql_r4('CASE WHEN coalesce(s.n_spans, 0) > 0 THEN CAST(s.dup_spans AS DOUBLE) / s.n_spans ELSE 0.0 END')} AS dup_frac
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def _span_strip_sql(w: int) -> str:
+    return f"""
+WITH {_span_ctes(w)},
+occ2 AS MATERIALIZED (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS occ_n,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM occ),
+covered AS (SELECT DISTINCT o.doc_id, o.pos + t.off AS tokpos
+            FROM occ2 o, range(0, {w}) t(off)
+            WHERE o.occ_n > 1 AND o.rn > 1),
+tokrel AS (SELECT doc_id, i AS tokpos, toks[i] AS tok
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM wdocs)),
+kept AS (SELECT t.doc_id, t.tokpos, t.tok
+         FROM tokrel t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tokpos = c.tokpos
+         WHERE c.doc_id IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS text_clean
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -1267,6 +1319,24 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+SPAN_W = 10  # substring-dedup window width (tokens); testdata docs are 10-99
+# whitespace tokens with ~1k duplicated 10-grams at sf0.01, so the oracle is
+# non-trivial at every sf
+
+
+def q_duplicate_span_stats(spark, sf_dir):
+    """Substring-level duplication profile (Lee et al. 2021 exact duplicated
+    substrings): per doc, the fraction of w-token windows occurring more than
+    once anywhere in the corpus."""
+    return duplicate_span_stats(_docs(spark, sf_dir), w=SPAN_W)
+
+
+def q_strip_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring removal keeping the globally-first
+    occurrence; output is the whitespace-normalized surviving token stream."""
+    return strip_duplicate_spans(_docs(spark, sf_dir), w=SPAN_W)
+
+
 def q_minhash_verified_pairs(spark, sf_dir):
     """Composed scale path for near-dup detection: banded-LSH candidate pairs
     exact-verified with shingle-set Jaccard computed on candidates only —
@@ -1477,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
+        "duplicate_span_stats": q_duplicate_span_stats,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash_groups": q_simhash_groups,
@@ -1541,6 +1613,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "token_counts": _token_counts_sql(),
         "minhash_lsh_pairs": _minhash_sql(),
         "minhash_verified_pairs": _minhash_verified_sql(),
+        "duplicate_span_stats": _span_stats_sql(SPAN_W),
+        "strip_duplicate_spans": _span_strip_sql(SPAN_W),
         "ngram_jaccard_pairs": _jaccard_sql(),
         "ngram_jaccard_capped": _jaccard_sql(max_shingle_df=JACCARD_DF_CAP),
         "simhash_groups": _simhash_sql(),

@@ -56,6 +56,8 @@ BENCH_QUERIES = (
     "minhash_verified_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_capped",
+    "duplicate_span_stats",
+    "strip_duplicate_spans",
     "simhash_groups",
     "simhash_neardup_pairs",
     "lsh_neardup",

@@ -296,6 +296,137 @@ def minhash_verified_pairs(
     )
 
 
+def _ws_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, toks): raw whitespace tokens, case/punctuation preserved —
+    substring dedup must be able to REBUILD text, so it cannot use the
+    lossy analyzer tokenization the doc-level ops shingle over."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')").alias("toks"),
+    )
+
+
+def _span_occurrences(toks: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, h): every w-token window, 0-based start position,
+    md5 of the space-joined window (narrow fixed-width shuffle key)."""
+    return toks.select(
+        "doc_id", F.posexplode(shingles_col("toks", w)).alias("pos", "span")
+    ).select("doc_id", "pos", F.md5("span").alias("h"))
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    w: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, dup_spans, dup_frac): substring-level duplication
+    profile — for each doc, how many of its w-token windows occur more than
+    once ANYWHERE in the corpus (including elsewhere in the same doc).
+
+    The third canonical dedup class for training corpora after doc-exact and
+    doc-near (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": exact duplicated substrings of >= 50 tokens): boilerplate
+    and quoted passages duplicate at substring granularity even when no doc
+    pair is near-identical. dup_frac feeds quality filtering directly.
+
+    Plan shape at scale: window explode (map, ~len rows per doc) -> hash agg
+    on the 32-byte window hash (one shuffle) -> keyed join back -> per-doc
+    agg. Everything is linear passes + hash joins on bounded keys; no
+    all-pairs stage. Docs shorter than w tokens report (0, 0, 0.0).
+    """
+    toks = _ws_tokens(docs, text_col, id_col)
+    occ = _span_occurrences(toks, w)
+    counts = occ.groupBy("h").agg(F.count(F.lit(1)).alias("occ_n"))
+    stats = (
+        occ.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("occ_n") > 1, 1).otherwise(0)).alias("dup_spans"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            r4(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.col("dup_spans") / F.col("n_spans"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    w: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_clean): remove exact duplicated w-token substrings,
+    keeping the globally-first occurrence (min (doc_id, pos)) of each span.
+
+    Semantics (deterministic, oracle-replayable): a token is dropped when it
+    is covered by ANY non-canonical occurrence of a duplicated window;
+    text_clean is the surviving tokens joined by single spaces (i.e. the
+    output is whitespace-normalized — substring dedup operates on the token
+    stream, not raw bytes). Repetitions WITHIN a doc are also removed (the
+    second occurrence of a looped passage is non-canonical). A canonical
+    occurrence can still lose tokens to a different overlapping duplicated
+    window — inherent to greedy span removal, as in Lee et al.'s cut-all-
+    but-one-occurrence procedure.
+
+    Plan shape at scale: window explode -> hash agg carrying
+    min(struct(doc_id,pos)) per hash (one shuffle, no window function over
+    corpus order) -> keyed join back to occurrences -> covered-offset explode
+    (<= w rows per duplicated occurrence) -> anti-join on (doc_id, tokpos)
+    -> per-doc ordered rebuild via array_sort(collect_list(struct)). All
+    joins keyed; per-doc state bounded by doc length.
+    """
+    toks = _ws_tokens(docs, text_col, id_col)
+    occ = _span_occurrences(toks, w)
+    counts = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ_n"),
+        F.min(F.struct("doc_id", "pos")).alias("keep"),
+    )
+    noncanon = (
+        occ.join(counts.filter(F.col("occ_n") > 1), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    covered = noncanon.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias("tokpos"),
+    ).distinct()
+    tok_rel = toks.select("doc_id", F.posexplode("toks").alias("tokpos", "tok"))
+    kept = tok_rel.join(covered, ["doc_id", "tokpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean"))
+    )
+
+
 def _token_sign_vector(token: str) -> np.ndarray:
     """64-element ±1 vector for one token: bit b = bit (b%4) of hex digit
     (b//4) of md5(token) — ONE md5 per distinct token (the round-1 Catalyst

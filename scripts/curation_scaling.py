@@ -129,10 +129,12 @@ def run_scale(spark, n_docs: int, projections: dict) -> dict:
         build_simhash_table,
         dup_clusters,
         exact_dedup,
+        duplicate_span_stats,
         minhash_lsh_pairs,
         minhash_verified_pairs,
         ngram_jaccard_pairs,
         simhash_neardup_pairs,
+        strip_duplicate_spans,
     )
 
     data_dir = f"{WORK_DIR}/docs_{n_docs}"
@@ -231,6 +233,15 @@ def run_scale(spark, n_docs: int, projections: dict) -> dict:
     rec("curation_pipeline", lambda: curate_corpus(docs).count())
     bench = docs.filter(F.col("doc_id") % 1000 == 3).select("text")
     rec("decontaminate", lambda: ngram_decontaminate(docs, bench).count())
+
+    # --- substring-level dedup (Lee et al. exact duplicated spans, w=10):
+    # boilerplate prefixes (13 tokens) and the near/exact-dup plants all
+    # duplicate at span granularity -> counts must grow ~linearly
+    rec("span_stats", lambda: duplicate_span_stats(docs, w=10)
+        .filter(F.col("dup_spans") > 0).count())
+    rec("strip_spans", lambda: strip_duplicate_spans(docs, w=10)
+        .join(docs, "doc_id")
+        .filter(F.col("text_clean") != F.col("text")).count())
 
     shutil.rmtree(data_dir, ignore_errors=True)
     shutil.rmtree(mh_path, ignore_errors=True)

@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from rustserini_spark.operators.dedup import (
     build_minhash_table,
+    duplicate_span_stats,
     exact_dedup,
+    strip_duplicate_spans,
     minhash_lsh_pairs,
     minhash_verified_pairs,
     ngram_jaccard_pairs,
@@ -93,6 +95,48 @@ def test_minhash_verified_pairs_with_sig_and_cap(dup_docs, tmp_path):
     }
     assert (0, 1) in got
     assert not any(3 in p or 4 in p for p in got)
+
+
+SENT = "alpha bravo charlie delta echo"  # the 5-token planted span
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, SENT + " one two three"),              # canonical occurrence
+        (1, "x y " + SENT + " z"),                 # cross-doc dup -> removed
+        (2, "p q r s t"),                          # unique, untouched
+        (3, "loop one " + SENT + " mid " + SENT),  # both non-canonical (0 wins)
+        (4, "tiny doc"),                           # < w tokens
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_duplicate_span_stats(span_docs):
+    rows = {r.doc_id: r for r in duplicate_span_stats(span_docs, w=5).collect()}
+    assert len(rows) == 5  # every doc reported, including span-less ones
+    assert (rows[0].n_spans, rows[0].dup_spans, rows[0].dup_frac) == (4, 1, 0.25)
+    assert (rows[1].n_spans, rows[1].dup_spans) == (4, 1)
+    assert (rows[2].dup_spans, rows[2].dup_frac) == (0, 0.0)
+    assert (rows[3].n_spans, rows[3].dup_spans) == (9, 2)  # in-doc repetition counts
+    assert (rows[4].n_spans, rows[4].dup_frac) == (0, 0.0)
+
+
+def test_strip_duplicate_spans_keeps_first_occurrence(span_docs):
+    got = {r.doc_id: r.text_clean for r in strip_duplicate_spans(span_docs, w=5).collect()}
+    assert got[0] == SENT + " one two three"  # canonical doc intact
+    assert got[1] == "x y z"                  # dup span excised
+    assert got[2] == "p q r s t"              # unique doc untouched
+    assert got[3] == "loop one mid"           # both non-canonical copies removed
+    assert got[4] == "tiny doc"               # short doc roundtrips
+
+
+def test_strip_duplicate_spans_whitespace_normalizes(spark):
+    # multi-space input: output is the token stream joined by single spaces
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, "  a   b  c ")], columns=["doc_id", "text"])
+    )
+    assert strip_duplicate_spans(docs, w=5).first().text_clean == "a b c"
 
 
 def test_simhash_groups_identical_docs(dup_docs):
