@@ -1,0 +1,216 @@
+"""Parallelism-scaling evidence for the curation/dedup suite (north-rule
+two-cluster-size criterion applied beyond the BM25 headline).
+
+`scripts/curation_scaling.py` proves the suite's wall-time-vs-rows curves are
+near-linear; THIS script proves the same jobs parallelize: the identical op
+on the identical input at N = ``local-cluster[1,4]`` vs 4N =
+``local-cluster[4,4]`` (separate executor JVMs, same protocol window as the
+headline gate in BENCH/BASELINE.md — the only concurrency window where this
+VM grants linear 4x process scaling, see the level-sizing note there).
+
+Protocol (mirrors scripts/scaling_report.py):
+  * levels run SEQUENTIALLY as adjacent pairs (N then 4N back-to-back, each
+    alone on the machine) so slowly-varying host weather cancels in the
+    paired ratio;
+  * FREQUENCY-STATE CONTROLLED: every cpu a level does not use is pinned by
+    a pure-integer spinner so the hypervisor grants the same active-core
+    clock state at both levels;
+  * each level's timed pass runs in warmed JVMs (one full untimed warm pass
+    first — fresh executors spend minutes in C2 JIT; clusters run
+    steady-state);
+  * fixed shuffle_partitions=32 at BOTH levels: the same logical job, only
+    the slot count differs;
+  * result parity asserted across levels (identical counts/checksums) — the
+    speedup is not allowed to change answers.
+
+Ops measured (the suite's four distinct plan shapes):
+  minhash_sig_build  — full-corpus Arrow shingle+min-agg pass -> parquet
+  lsh_verified       — banded candidate join + exact-verify joins
+  strip_spans        — window explode -> anti-join -> ordered rebuild
+  curation_pipeline  — composed map-only + broadcast + CC stages
+
+Efficiency per pair = (t_N / t_4N) / 4; report = per-op paired medians.
+Run detached, alone on the machine:
+  setsid nohup env PYTHONPATH=/root/repo \
+      python scripts/curation_parallel_scaling.py > /tmp/curpar.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DOCS = int(os.environ.get("CURPAR_DOCS", "200000"))
+REPS = int(os.environ.get("CURPAR_REPS", "3"))
+LEVELS = ((1, 4), (4, 4))
+EXEC_MEM_MB = 10240
+WORK = "/tmp/curpar_scaling"
+DATA_DIR = f"{WORK}/docs_{N_DOCS}"
+OUT_PATH = os.path.join(REPO, "BENCH", "curation_parallel_scaling.json")
+OPS = ("minhash_sig_build", "lsh_verified", "strip_spans", "curation_pipeline")
+
+
+def _load_corpus_module():
+    spec = importlib.util.spec_from_file_location(
+        "curation_scaling_mod",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "curation_scaling.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def one_pass(spark, docs, tag: str) -> tuple[dict, dict]:
+    """One full pass over the measured ops; returns (seconds, parity values)."""
+    from pyspark.sql import functions as F
+
+    from rustserini_spark.operators.curation import curate_corpus
+    from rustserini_spark.operators.dedup import (
+        build_minhash_table,
+        minhash_verified_pairs,
+        strip_duplicate_spans,
+    )
+
+    t: dict = {}
+    par: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        par[name] = fn()
+        t[name] = round(time.perf_counter() - t0, 3)
+
+    sig_path = f"{WORK}/sig_{tag}"
+    shutil.rmtree(sig_path, ignore_errors=True)
+    sig = {}
+    timed("minhash_sig_build", lambda: sig.setdefault(
+        "df", build_minhash_table(docs, sig_path)).count())
+    timed("lsh_verified", lambda: minhash_verified_pairs(
+        docs, threshold=0.8, sig=sig["df"], max_bucket=16).count())
+    # checksum (total surviving chars) forces full string materialization and
+    # doubles as the cross-level parity value
+    timed("strip_spans", lambda: int(strip_duplicate_spans(docs, w=10)
+          .agg(F.sum(F.length("text_clean"))).first()[0]))
+    timed("curation_pipeline", lambda: curate_corpus(docs).count())
+    shutil.rmtree(sig_path, ignore_errors=True)
+    return t, par
+
+
+def run_once(workers: int, cores: int) -> dict:
+    from rustserini_spark import get_spark
+
+    spark = get_spark(
+        f"curpar-{workers}x{cores}",
+        master=f"local-cluster[{workers},{cores},{EXEC_MEM_MB}]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.executorEnv.PYTHONPATH": REPO,
+            "spark.sql.adaptive.enabled": "false",
+            "spark.ui.enabled": "false",
+        },
+    )
+    docs = spark.read.parquet(DATA_DIR)
+    docs.count()  # page cache + scheduler + python-worker warm
+    one_pass(spark, docs, f"{workers}x{cores}_warm")  # untimed C2-JIT warm
+    t, par = one_pass(spark, docs, f"{workers}x{cores}_timed")
+    spark.stop()
+    return {"workers": workers, "cores": cores, "sec": t, "parity": par}
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--once":
+        print("CURPAR_JSON " + json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+
+    os.makedirs(WORK, exist_ok=True)
+    if not os.path.isdir(DATA_DIR):
+        cs = _load_corpus_module()
+        from rustserini_spark import get_spark
+
+        spark = get_spark("curpar-prep", master="local[32]", shuffle_partitions=32)
+        cs.synth_docs(spark, N_DOCS).write.mode("overwrite").parquet(DATA_DIR)
+        spark.stop()
+
+    n_cpus = os.cpu_count() or 32
+    reps: dict = {f"{w}x{c}": [] for w, c in LEVELS}
+    for r in range(REPS):
+        for workers, cores in LEVELS:
+            key = f"{workers}x{cores}"
+            used = min(n_cpus, 3 * workers * cores)
+            cpuset = f"0-{used - 1}"
+            fillers = [
+                subprocess.Popen(
+                    ["taskset", "-c", str(cpu), "sh", "-c", "while : ; do : ; done"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                for cpu in range(used, n_cpus)
+            ]
+            try:
+                proc = subprocess.Popen(
+                    ["taskset", "-c", cpuset, sys.executable,
+                     os.path.abspath(__file__), "--once", str(workers), str(cores)],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                    cwd=REPO,
+                    env={**os.environ, "SPARK_GRAFT_MASTER": "", "PYTHONPATH": REPO},
+                )
+                out, err = proc.communicate()
+            finally:
+                for fp in fillers:
+                    fp.kill()
+            line = [ln for ln in out.splitlines() if ln.startswith("CURPAR_JSON ")]
+            if not line:
+                sys.stderr.write(out[-2000:] + err[-4000:])
+                raise SystemExit(f"level {key} rep {r} failed")
+            rep = json.loads(line[0][len("CURPAR_JSON "):])
+            rep["cpuset"] = cpuset
+            reps[key].append(rep)
+            print(json.dumps(rep), flush=True)
+
+    nk, fk = f"{LEVELS[0][0]}x{LEVELS[0][1]}", f"{LEVELS[1][0]}x{LEVELS[1][1]}"
+    slot_ratio = (LEVELS[1][0] * LEVELS[1][1]) / (LEVELS[0][0] * LEVELS[0][1])
+    pair_eff = {
+        op: [
+            round((a["sec"][op] / b["sec"][op]) / slot_ratio, 3)
+            for a, b in zip(reps[nk], reps[fk])
+        ]
+        for op in OPS
+    }
+    med = {op: sorted(v)[len(v) // 2] for op, v in pair_eff.items()}
+    parity_ok = all(
+        a["parity"][op] == b["parity"][op]
+        for op in OPS
+        for a in reps[nk] + reps[fk]
+        for b in (reps[fk][0],)
+    )
+    out = {
+        "protocol": (
+            f"local-cluster[{LEVELS[0][0]},{LEVELS[0][1]},{EXEC_MEM_MB}] (N) vs "
+            f"local-cluster[{LEVELS[1][0]},{LEVELS[1][1]},{EXEC_MEM_MB}] (4N), "
+            "sequential adjacent pairs, frequency-state controlled (integer "
+            "spinners on unused cpus), slot-normalized cpusets (3 cpus/slot), "
+            "warmed JVMs (one untimed full pass), shuffle_partitions=32 at "
+            f"both levels, {N_DOCS} synthetic docs (curation_scaling "
+            "generator: planted near/exact dups + boilerplate prefixes); "
+            "eff = (t_N / t_4N) / 4; parity = identical op results across "
+            "all runs of both levels"
+        ),
+        "n_docs": N_DOCS,
+        "reps": reps,
+        "pair_efficiency": pair_eff,
+        "median_efficiency": med,
+        "parity_ok": parity_ok,
+    }
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"median_efficiency": med, "parity_ok": parity_ok}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
