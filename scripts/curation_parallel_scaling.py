@@ -104,10 +104,14 @@ def one_pass(spark, docs, tag: str) -> tuple[dict, dict]:
 def run_once(workers: int, cores: int) -> dict:
     from rustserini_spark import get_spark
 
+    # 128 shuffle partitions at BOTH levels: identical logical job, and
+    # fine-grained tasks pack waves evenly at either slot count (32
+    # partitions = 2 waves of 16 at the 4N level — one straggler idles 15
+    # slots; the headline protocol sizes tasks fine for the same reason)
     spark = get_spark(
         f"curpar-{workers}x{cores}",
         master=f"local-cluster[{workers},{cores},{EXEC_MEM_MB}]",
-        shuffle_partitions=32,
+        shuffle_partitions=128,
         extra_conf={
             "spark.driver.memory": "8g",
             "spark.executorEnv.PYTHONPATH": REPO,
@@ -138,12 +142,14 @@ def main() -> None:
         spark.stop()
 
     n_cpus = os.cpu_count() or 32
-    reps: dict = {f"{w}x{c}": [] for w, c in LEVELS}
-    for r in range(REPS):
-        for workers, cores in LEVELS:
-            key = f"{workers}x{cores}"
-            used = min(n_cpus, 3 * workers * cores)
-            cpuset = f"0-{used - 1}"
+
+    def run_level(workers: int, cores: int) -> dict | None:
+        """One level run with spinners on unused cpus; 2 attempts (the
+        multi-JVM local-cluster worker occasionally dies mid-app — observed
+        'Worker shutting down' with no OOM; a clean retry recovers)."""
+        used = min(n_cpus, 3 * workers * cores)
+        cpuset = f"0-{used - 1}"
+        for attempt in (1, 2):
             fillers = [
                 subprocess.Popen(
                     ["taskset", "-c", str(cpu), "sh", "-c", "while : ; do : ; done"],
@@ -164,13 +170,32 @@ def main() -> None:
                 for fp in fillers:
                     fp.kill()
             line = [ln for ln in out.splitlines() if ln.startswith("CURPAR_JSON ")]
-            if not line:
-                sys.stderr.write(out[-2000:] + err[-4000:])
-                raise SystemExit(f"level {key} rep {r} failed")
-            rep = json.loads(line[0][len("CURPAR_JSON "):])
-            rep["cpuset"] = cpuset
-            reps[key].append(rep)
+            if line:
+                rep = json.loads(line[0][len("CURPAR_JSON "):])
+                rep["cpuset"] = cpuset
+                return rep
+            sys.stderr.write(out[-2000:] + err[-4000:])
+            sys.stderr.write(f"\nlevel {workers}x{cores} attempt {attempt} failed\n")
+        return None
+
+    reps: dict = {f"{w}x{c}": [] for w, c in LEVELS}
+    failed_pairs = 0
+    for r in range(REPS):
+        pair = {}
+        for workers, cores in LEVELS:
+            rep = run_level(workers, cores)
+            if rep is None:
+                break
+            pair[f"{workers}x{cores}"] = rep
             print(json.dumps(rep), flush=True)
+        if len(pair) == len(LEVELS):  # keep PAIRS only: a lone level skews ratios
+            for key, rep in pair.items():
+                reps[key].append(rep)
+        else:
+            failed_pairs += 1
+            print(f'{{"dropped_pair": {r}}}', flush=True)
+    if not reps[f"{LEVELS[0][0]}x{LEVELS[0][1]}"]:
+        raise SystemExit("no complete pairs")
 
     nk, fk = f"{LEVELS[0][0]}x{LEVELS[0][1]}", f"{LEVELS[1][0]}x{LEVELS[1][1]}"
     slot_ratio = (LEVELS[1][0] * LEVELS[1][1]) / (LEVELS[0][0] * LEVELS[0][1])
@@ -194,13 +219,14 @@ def main() -> None:
             f"local-cluster[{LEVELS[1][0]},{LEVELS[1][1]},{EXEC_MEM_MB}] (4N), "
             "sequential adjacent pairs, frequency-state controlled (integer "
             "spinners on unused cpus), slot-normalized cpusets (3 cpus/slot), "
-            "warmed JVMs (one untimed full pass), shuffle_partitions=32 at "
+            "warmed JVMs (one untimed full pass), shuffle_partitions=128 at "
             f"both levels, {N_DOCS} synthetic docs (curation_scaling "
             "generator: planted near/exact dups + boilerplate prefixes); "
             "eff = (t_N / t_4N) / 4; parity = identical op results across "
             "all runs of both levels"
         ),
         "n_docs": N_DOCS,
+        "dropped_pairs": failed_pairs,
         "reps": reps,
         "pair_efficiency": pair_eff,
         "median_efficiency": med,
