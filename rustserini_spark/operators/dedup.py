@@ -265,21 +265,34 @@ def minhash_verified_pairs(
     J >= threshold pairs at the default 16x8 banding, where a J=0.8 pair
     misses all 8 bands with probability (1-0.64)^8 ~ 3e-4).
 
-    Plan shape at scale: banded candidate join (bounded buckets) -> equi-join
-    candidates x shingles on doc_a -> co-keyed equi-join on (doc_b, shingle)
-    -> pair groupBy count -> two size joins. Every join is keyed; nothing is
-    all-pairs; the corpus-scale shingle relation is shuffled once on doc_id
-    and its exchange is REUSED by the size aggregate. (An array-payload
-    variant — shingle-set arrays joined to candidates + array_intersect —
-    was measured 3x SLOWER at bench scale: broadcasting/joining wide array
-    rows costs more than the lean exploded-relation shuffles it saves.)
+    Plan shape at scale: banded candidate join (bounded buckets) -> SEMI-JOIN
+    REDUCTION (shingles filtered to candidate docs, AQE-broadcast when small)
+    -> equi-join candidates x shingles on doc_a -> co-keyed equi-join on
+    (doc_b, shingle) -> pair groupBy count -> two size joins. Every join is
+    keyed; nothing is all-pairs; every verify shuffle carries candidate-doc
+    rows only. (An array-payload variant — shingle-set arrays joined to
+    candidates + array_intersect — was measured 3x SLOWER at bench scale:
+    broadcasting/joining wide array rows costs more than the lean
+    exploded-relation shuffles it saves.)
 
     Mirrors the reference's near-dup intent (candidate generation delegated
     to an index, exact scoring on the candidate set —
     /root/reference/src/searcher/faiss/searcher.rs:41-64 pattern).
     """
     cand = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, n_bands, max_bucket, sig)
-    sh = doc_shingles(docs, text_col, id_col)
+    # semi-join reduction: only docs that appear in a candidate pair need
+    # their shingles in the verify — the corpus-scale exploded relation is
+    # filtered on candidate doc ids before any verify shuffle, so the joins
+    # below scale with the candidate set (~dup docs), not the corpus. At
+    # 100 TB near-dup rates the reduction is 100-1000x. No broadcast hint:
+    # AQE turns the semi-join into a map-side broadcast when the candidate
+    # set is small, and degrades gracefully to a keyed shuffle join when a
+    # pathological corpus makes it large (a forced broadcast would OOM the
+    # driver exactly there).
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    sh = doc_shingles(docs, text_col, id_col).join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
