@@ -115,7 +115,12 @@ def run_once(workers: int, cores: int) -> dict:
         extra_conf={
             "spark.driver.memory": "8g",
             "spark.executorEnv.PYTHONPATH": REPO,
-            "spark.sql.adaptive.enabled": "false",
+            # AQE ON — the engine's session default (get_spark) and what the
+            # dedup ops are designed around (runtime broadcast of the
+            # candidate-id semi-join, skew handling). The BM25 headline
+            # protocol disables AQE because its one lean exchange gains
+            # nothing from re-planning; that rationale does not transfer.
+            "spark.sql.adaptive.enabled": "true",
             "spark.ui.enabled": "false",
         },
     )
@@ -219,8 +224,9 @@ def main() -> None:
             f"local-cluster[{LEVELS[1][0]},{LEVELS[1][1]},{EXEC_MEM_MB}] (4N), "
             "sequential adjacent pairs, frequency-state controlled (integer "
             "spinners on unused cpus), slot-normalized cpusets (3 cpus/slot), "
-            "warmed JVMs (one untimed full pass), shuffle_partitions=128 at "
-            f"both levels, {N_DOCS} synthetic docs (curation_scaling "
+            "warmed JVMs (one untimed full pass), shuffle_partitions=128 and "
+            f"AQE ON (the engine session default) at both levels, {N_DOCS} "
+            "synthetic docs (curation_scaling "
             "generator: planted near/exact dups + boilerplate prefixes); "
             "eff = (t_N / t_4N) / 4; parity = identical op results across "
             "all runs of both levels"
