@@ -266,7 +266,9 @@ FROM s GROUP BY user_id, sess
 
 
 def _event_props_sql(key: str) -> str:
-    pat = f'"{key}":\\s*(-?\\d+)'
+    # {1,18} digit bound mirrors events.event_props_stats: unbounded runs
+    # overflow int64 where Spark NULLs but DuckDB raises
+    pat = f'"{key}":\\s*(-?\\d{{1,18}})'
     return f"""
 WITH v AS (SELECT event_type, CAST(regexp_extract(props, '{pat}', 1) AS BIGINT) AS v
            FROM events
@@ -871,6 +873,34 @@ WHERE cos >= {threshold}
 """
 
 
+def _ann_recall_sql(gate: float) -> str:
+    """Oracle side of the ANN recall assertion: the query count is exact, the
+    gate is the shared constant, and recall_pass is pinned to 1 — the Spark
+    entry only hash-matches when its measured mean recall clears the gate."""
+    return (
+        f"SELECT count(*) AS n_queries, CAST({gate} AS DOUBLE) AS recall_gate, "
+        f"CAST(1 AS BIGINT) AS recall_pass FROM embeddings WHERE vec_id < {EMB_QUERY_MAX_ID}"
+    )
+
+
+def _lsh_neardup_recall_sql(gate: float, threshold: float = 0.95) -> str:
+    """Exact near-dup pair count over the planted union (DuckDB replays the
+    brute-force pair join) + the pinned recall_pass=1 assertion."""
+    cos = (
+        "list_inner_product(va, vb) / "
+        "(sqrt(list_inner_product(va, va)) * sqrt(list_inner_product(vb, vb)))"
+    )
+    return f"""
+WITH {_EMB_PLANTED_CTE},
+a AS (SELECT vec_id AS vec_a, CAST(embedding AS DOUBLE[]) AS va FROM emb_all),
+b AS (SELECT vec_id AS vec_b, CAST(embedding AS DOUBLE[]) AS vb FROM emb_all)
+SELECT count(*) AS n_exact_pairs, CAST({gate} AS DOUBLE) AS recall_gate,
+       CAST(1 AS BIGINT) AS recall_pass
+FROM a JOIN b ON vec_a < vec_b
+WHERE {sql_r4(cos)} >= {threshold}
+"""
+
+
 # -------------------------------------------------- side-table oracles -----
 # Porter stemming and the stand-in dense encoder are not SQL-expressible, but
 # everything downstream of them IS (BM25 sum / cosine top-k). Following the
@@ -1411,7 +1441,9 @@ def q_event_props_stats(spark, sf_dir):
 def q_minhash_verified_pairs(spark, sf_dir):
     """Composed scale path for near-dup detection: banded-LSH candidate pairs
     exact-verified with shingle-set Jaccard computed on candidates only —
-    O(candidates x shingles) instead of the inverted join's O(sum df^2)."""
+    O(candidates x shingles) instead of the inverted join's O(sum df^2).
+    Runs the op's DEFAULT one-pass path: signatures materialized internally
+    (build-once/probe-many), every candidate-join branch reads the table."""
     return minhash_verified_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
@@ -1458,13 +1490,30 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
-def q_lsh_neardup(spark, sf_dir):
-    """Composed buckets->verify embedding near-dup (approximate by
-    construction -> rows-only driver check; planted-dup recall is asserted in
-    tests/test_similarity.py). Runs over the planted-near-dup union so the
-    driver gate returns >0 rows (the raw fixture has no 0.95-cosine pairs)."""
+def q_lsh_neardup_recall(spark, sf_dir):
+    """Composed buckets->verify embedding near-dup over the planted-near-dup
+    union, value-checked: recall of the LSH-bucketed pass against the EXACT
+    cosine pair set (itself oracle-green via embedding_neardup) must clear
+    LSH_NEARDUP_RECALL_GATE (measured 1.0 at both scales). Emits
+    (n_exact_pairs, recall_gate, recall_pass); n_exact_pairs is
+    oracle-computed in DuckDB, recall_pass=1 must match the oracle's
+    constant-TRUE."""
+    from rustserini_spark.operators.similarity import cosine_neardup_pairs
+
     emb = _emb_with_planted(spark, sf_dir)
-    return lsh_neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.95, n_planes=8)
+    approx = lsh_neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.95, n_planes=8)
+    exact = cosine_neardup_pairs(emb, threshold=0.95)
+    hit = exact.select("vec_a", "vec_b").join(
+        approx.select("vec_a", "vec_b"), ["vec_a", "vec_b"]
+    )
+    gate = float(LSH_NEARDUP_RECALL_GATE)
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("_n_hit"))
+    ).select(
+        "n_exact_pairs",
+        F.lit(gate).alias("recall_gate"),
+        ((F.col("_n_hit") / F.col("n_exact_pairs")) >= gate).cast("long").alias("recall_pass"),
+    )
 
 
 def _media_df(spark, sf_dir):
@@ -1552,21 +1601,19 @@ def q_embedding_neardup(spark, sf_dir):
     return cosine_neardup_pairs(_emb_with_planted(spark, sf_dir), threshold=0.95)
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN (recall < 1 by construction) — rows-only driver check;
-    recall vs brute force asserted in tests/test_similarity.py."""
+def _ann_topk_lsh(spark, sf_dir):
+    """The LSH-ANN ranking pass consumed by q_ann_lsh_recall."""
     emb = _emb(spark, sf_dir)
-    res = lsh_ann_topk(
+    return lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), dim=_emb_dim(sf_dir), k=10
     )
-    return res.withColumn("rank", F.col("rank").cast("long"))
 
 
-def q_ann_ivf_topk(spark, sf_dir):
+def _ann_topk_ivf(spark, sf_dir):
     """IVF,nprobe approximate NN over the MATERIALIZED cell-partitioned index
     (build once -> probe with partition pruning — the 100 TB path; VERDICT r3
-    #4). Recall < 1 by construction -> rows-only driver check; recall >= 0.9
-    and indexed==per-call parity asserted in tests/test_similarity.py."""
+    #4). Consumed by q_ann_ivf_recall; indexed==per-call parity asserted in
+    tests/test_similarity.py."""
     import tempfile
 
     from rustserini_spark.operators.similarity import build_ivf_index, ivf_ann_topk_indexed
@@ -1574,10 +1621,70 @@ def q_ann_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="ivf_entry_")
     ivf = build_ivf_index(emb, dim=_emb_dim(sf_dir), base_dir=base, n_centroids=16)
-    res = ivf_ann_topk_indexed(
+    return ivf_ann_topk_indexed(
         spark, ivf, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), k=10, n_probe=8
     )
-    return res.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ANN ops are approximate BY CONSTRUCTION, so their rankings have no exact SQL
+# mirror — but their RECALL AGAINST BRUTE FORCE is exactly computable (round-6
+# verdict #4): each recall entry runs the full ANN pass, joins it against the
+# exact cosine top-k (itself oracle-green via embedding_cosine_topk), and
+# emits a one-row threshold assertion the driver value-checks: (n_queries,
+# recall_gate, recall_pass). n_queries is oracle-computable; recall_pass=1
+# must hold for the hash to match the oracle's constant-TRUE row — a recall
+# regression on ANY scale flips it to 0 and turns the entry red. Gates are
+# set from measured DETERMINISTIC recalls (seeded hyperplanes, id-ordered
+# k-means sample) with margin:
+#  * LSH @ sf0.01/sf0.1: mean recall 0.1875 at both scales — the fixture
+#    embeddings are ISOTROPIC random unit vectors, where sign-LSH recall is
+#    bounded by per-plane collision probability (cos~0.5 neighbor -> p=2/3
+#    per plane; p^8 + 8p^7(1-p) ~ 0.195 with Hamming-1 multi-probe at 8
+#    planes — the measured value IS the theoretical ceiling, documented, not
+#    a bug). Clustered-data recall >= 0.9 is asserted in test_similarity.py.
+#  * IVF @ sf0.01/sf0.1: mean recall 0.8625 / 0.80.
+#  * LSH near-dup @ both scales: planted-pair recall 1.0.
+ANN_LSH_RECALL_GATE = 0.15
+ANN_IVF_RECALL_GATE = 0.70
+LSH_NEARDUP_RECALL_GATE = 0.99
+
+
+def _mean_recall_frame(approx: DataFrame, exact: DataFrame, gate: float) -> DataFrame:
+    """(n_queries, recall_gate, recall_pass): mean recall@k of ``approx`` vs
+    the ``exact`` (qid, vec_id) top-k, thresholded — all DataFrame ops, no
+    driver math."""
+    hits = (
+        approx.select("qid", "vec_id")
+        .join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    rec = per_q.join(hits, "qid", "left").select(
+        (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("r")
+    )
+    return rec.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(float(gate)).alias("recall_gate"),
+        (F.avg("r") >= F.lit(float(gate))).cast("long").alias("recall_pass"),
+    )
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Sign-hyperplane multi-probe LSH ANN, value-checked: mean recall@10 vs
+    exact cosine top-k must clear ANN_LSH_RECALL_GATE (see gate rationale
+    above — isotropic fixture bounds it near 0.19)."""
+    emb = _emb(spark, sf_dir)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), k=10)
+    return _mean_recall_frame(_ann_topk_lsh(spark, sf_dir), exact, ANN_LSH_RECALL_GATE)
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF,nprobe ANN over the materialized cell index, value-checked: mean
+    recall@10 vs exact cosine top-k must clear ANN_IVF_RECALL_GATE."""
+    emb = _emb(spark, sf_dir)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < EMB_QUERY_MAX_ID), k=10)
+    return _mean_recall_frame(_ann_topk_ivf(spark, sf_dir), exact, ANN_IVF_RECALL_GATE)
 
 
 # ------------------------------------------------------------- contract ----
@@ -1629,14 +1736,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dup_clusters": q_dup_clusters,
         "neardup_dedup": q_neardup_dedup,
-        "lsh_neardup": q_lsh_neardup,
+        "lsh_neardup_recall": q_lsh_neardup_recall,
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_dot_topk": q_embedding_dot_topk,
         "embedding_neardup": q_embedding_neardup,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -1698,12 +1805,16 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "simhash_neardup_pairs": _simhash_neardup_sql(SIMHASH_MAX_HAMMING),
         "dup_clusters": _dup_clusters_sql(SIMHASH_MAX_HAMMING),
         "neardup_dedup": _neardup_dedup_sql(SIMHASH_MAX_HAMMING),
-        # lsh_neardup: approximate (bucketed) — rows-only check.
         "media_features": _media_features_sql(),
         "media_dedup": _media_dedup_sql(),
         "embedding_cosine_topk": _emb_topk_sql(_EMB_COS, "cos"),
         "embedding_dot_topk": _emb_topk_sql("list_inner_product(qvec, cvec)", "dot"),
         "embedding_neardup": _emb_neardup_sql(),
-        # ann_lsh_topk: approximate — rows-only check.
-        # ann_ivf_topk: approximate — rows-only check.
+        # ANN rankings are approximate by construction; their entries emit
+        # recall-threshold assertions instead (see q_ann_*_recall), which ARE
+        # exactly oracle-checkable: the oracle computes the query/pair counts
+        # and pins recall_pass to the constant 1 the Spark side must earn.
+        "ann_lsh_recall": _ann_recall_sql(ANN_LSH_RECALL_GATE),
+        "ann_ivf_recall": _ann_recall_sql(ANN_IVF_RECALL_GATE),
+        "lsh_neardup_recall": _lsh_neardup_recall_sql(LSH_NEARDUP_RECALL_GATE),
     }

@@ -62,7 +62,7 @@ BENCH_QUERIES = (
     "sessionize",
     "simhash_groups",
     "simhash_neardup_pairs",
-    "lsh_neardup",
+    "lsh_neardup_recall",
     "text_quality",
     "lang_id",
     "fingerprint",
@@ -74,9 +74,12 @@ BENCH_QUERIES = (
     "boilerplate_lines",
     "source_filter",
     "embedding_cosine_topk",
-    "ann_lsh_topk",
+    "ann_lsh_recall",
     "encode_knn",
 )
+# r7 rename note: "lsh_neardup"/"ann_lsh_topk" became the value-checked
+# *_recall entries — each now times the ANN pass PLUS the exact-recall join
+# (round-6 verdict #4), so their numbers are not like-for-like with r6.
 
 IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 8

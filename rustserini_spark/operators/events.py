@@ -130,9 +130,14 @@ def event_props_stats(
     Extraction is a single regexp in whole-stage codegen (engine-portable:
     the same pattern replays in DuckDB's RE2, where Spark's
     ``get_json_object`` has no exact cross-engine mirror); rows without the
-    key drop out of the aggregate rather than contributing nulls.
+    key drop out of the aggregate rather than contributing nulls. The digit
+    run is bounded to 18 (always inside int64) so both engines see the same
+    rows: an UNBOUNDED run wider than 19 digits overflows the cast, where
+    Spark's cast('long') yields NULL (row silently dropped) but the oracle's
+    CAST(... AS BIGINT) raises — a >18-digit props value takes its longest
+    18-digit prefix on BOTH sides instead of diverging.
     """
-    val = F.regexp_extract(F.col(props_col), f'"{key}":\\s*(-?\\d+)', 1)
+    val = F.regexp_extract(F.col(props_col), f'"{key}":\\s*(-?\\d{{1,18}})', 1)
     typed = events.select(
         F.col(type_col).alias("event_type"),
         F.when(val != "", val.cast("long")).alias("v"),

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,6 +70,25 @@ from rustserini_spark.operators.index_build import (
 
 SEG_PREFIX = "seg_"
 MAX_GROUP_DEFAULT = 1 << 16  # max postings per compacted (term, shard, salt) run
+# stats-less seg_* dirs are reclaimed only after this many seconds of
+# QUIESCENCE (newest mtime in the tree) — long enough that any live
+# write_segment still streaming parquet parts has touched the dir since,
+# short enough that crashed writes don't leak across an ingest session
+ORPHAN_GRACE_S = 600.0
+
+
+def _newest_mtime(root: str) -> float:
+    """Newest mtime anywhere under ``root`` (the top dir's own mtime only
+    changes on direct-child churn, so a live parquet write deep in
+    postings/ would look stale without the walk)."""
+    newest = os.path.getmtime(root)
+    for dirpath, dirnames, filenames in os.walk(root):
+        for name in dirnames + filenames:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, name)))
+            except OSError:  # racing writer removed a temp file mid-walk
+                continue
+    return newest
 
 
 def write_segment(
@@ -228,6 +248,7 @@ def merge_all_segments(
     spark: SparkSession,
     base_dir: str,
     max_group: int = MAX_GROUP_DEFAULT,
+    orphan_grace_s: float = ORPHAN_GRACE_S,
 ) -> str | None:
     """Merge every complete segment under ``base_dir`` into ONE new segment,
     in place (the auto-compaction step; returns the new segment dir, or None
@@ -254,12 +275,19 @@ def merge_all_segments(
     the rename, which broke in-flight readers.)
 
     The opening reclaim pass also removes seg_* dirs LACKING stats.json:
-    those are by construction either half-deleted leftovers (a crash between
-    the stats.json remove and the rmtree) or crashed mid-writes — a complete
-    segment always has stats.json (written last). Merges are serialized with
-    segment writes (both run in the stream sink thread); callers invoking
-    merge_all_segments manually while a separate writer is mid-segment would
-    race that writer and must not."""
+    those are either half-deleted leftovers (a crash between the stats.json
+    remove and the rmtree) or crashed mid-writes — a complete segment always
+    has stats.json (written last). Because write_segment lays down
+    postings/dictionary BEFORE stats.json, a stats-less dir is
+    indistinguishable from a LIVE write in progress by a second writer on the
+    same base_dir, so reclaim is gated on QUIESCENCE, not just absence: the
+    dir is removed only when nothing under it has been modified for
+    ``orphan_grace_s`` seconds (newest mtime across the tree). A mid-write
+    segment keeps receiving parquet part files and stays fresh; a crashed one
+    goes quiet and is reclaimed on the first merge after the grace window.
+    Merges are still serialized with segment writes in the normal single-sink
+    deployment; the grace window is the safety net for the manual-call /
+    second-writer case the round-6 protocol only forbade in a docstring."""
     import shutil
 
     live = _live_segments(base_dir)
@@ -277,6 +305,10 @@ def merge_all_segments(
         stats_path = os.path.join(seg, "stats.json")
         if os.path.exists(stats_path):
             os.remove(stats_path)  # turn invisible first; rmtree is not atomic
+        elif _newest_mtime(seg) > time.time() - orphan_grace_s:
+            continue  # stats-less but RECENTLY WRITTEN: possibly a live
+            # mid-segment write (stats.json lands last) — leave it for the
+            # merge after it either completes or goes quiet
         shutil.rmtree(seg)
     segs = [s for s, _ in live]
     if len(segs) < 2:

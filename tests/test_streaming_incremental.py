@@ -200,9 +200,11 @@ def test_merge_all_segments_unit(spark, documents, tmp_path_factory):
 
 
 def test_merge_reclaims_statsless_orphan_dirs(spark, documents, tmp_path_factory):
-    """A seg_* dir lacking stats.json (crash between the stats remove and the
-    rmtree, or a crashed mid-write) is reclaimed by the next merge's opening
-    pass instead of leaking forever (_segments never lists it)."""
+    """A QUIET seg_* dir lacking stats.json (crash between the stats remove
+    and the rmtree, or a crashed mid-write) is reclaimed by the next merge's
+    opening pass instead of leaking forever (_segments never lists it) — but
+    a FRESH stats-less dir (a possibly-live write_segment that hasn't reached
+    its final stats.json yet) SURVIVES the grace window."""
     from rustserini_spark.streaming.incremental import (
         _segments,
         merge_all_segments,
@@ -212,10 +214,22 @@ def test_merge_reclaims_statsless_orphan_dirs(spark, documents, tmp_path_factory
     segs = str(tmp_path_factory.mktemp("statsless"))
     docs = documents.select("doc_id", "text")
     write_segment(spark, docs, f"{segs}/seg_000000", batches=[0])
-    os.makedirs(f"{segs}/seg_000009/postings")  # half-deleted / crashed write
+    # crashed write, gone quiet: age every path in the orphan past the grace
+    os.makedirs(f"{segs}/seg_000009/postings")
+    stale = 1_000_000_000  # fixed epoch, decades in the past
+    for p in (f"{segs}/seg_000009", f"{segs}/seg_000009/postings"):
+        os.utime(p, (stale, stale))
+    # mid-write segment: stats-less but just touched
+    os.makedirs(f"{segs}/seg_000010/postings")
     assert merge_all_segments(spark, segs) is None  # 1 live segment: no-op merge
-    assert not os.path.exists(f"{segs}/seg_000009")  # ...but the orphan is gone
+    assert not os.path.exists(f"{segs}/seg_000009")  # quiet orphan reclaimed
+    assert os.path.exists(f"{segs}/seg_000010")  # fresh mid-write kept
     assert [os.path.basename(s) for s in _segments(segs)] == ["seg_000000"]
+    # once the mid-write goes quiet too, the next merge reclaims it
+    for p in (f"{segs}/seg_000010", f"{segs}/seg_000010/postings"):
+        os.utime(p, (stale, stale))
+    assert merge_all_segments(spark, segs) is None
+    assert not os.path.exists(f"{segs}/seg_000010")
 
 
 def test_auto_compaction_policy_triggers_and_preserves_results(
