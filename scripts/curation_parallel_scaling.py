@@ -47,7 +47,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = int(os.environ.get("CURPAR_DOCS", "200000"))
-REPS = int(os.environ.get("CURPAR_REPS", "3"))
+# 9 pairs: the round-6 run's 3 pairs were too thin for this VM's 4x4 weather
+# (single-rep swings of 2-2.7x flipped op medians across the 0.8 line);
+# 9 paired medians follow the 21-pair standard the BM25 gate established
+REPS = int(os.environ.get("CURPAR_REPS", "9"))
 LEVELS = ((1, 4), (4, 4))
 EXEC_MEM_MB = 10240
 WORK = "/tmp/curpar_scaling"
