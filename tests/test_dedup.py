@@ -139,6 +139,20 @@ def test_strip_duplicate_spans_whitespace_normalizes(spark):
     assert strip_duplicate_spans(docs, w=5).first().text_clean == "a b c"
 
 
+def test_strip_duplicate_spans_fully_covered_doc(spark):
+    """A doc that is one giant duplicated passage (the boilerplate case the
+    rebuild exists for) empties completely on the non-canonical side while
+    the canonical copy stays intact — and the O(len + |covered|) array_except
+    rebuild handles |covered| == len."""
+    long = " ".join(f"t{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, long), (1, long)], columns=["doc_id", "text"])
+    )
+    got = {r.doc_id: r.text_clean for r in strip_duplicate_spans(docs, w=10).collect()}
+    assert got[0] == long  # canonical occurrence of every window
+    assert got[1] == ""    # every token covered by a non-canonical window
+
+
 def test_span_ops_null_and_empty_text(spark):
     docs = spark.createDataFrame(
         pd.DataFrame([(0, None), (1, ""), (2, "   ")], columns=["doc_id", "text"])

@@ -70,6 +70,23 @@ def test_event_props_stats_extraction(ev):
     assert got["error"] == (1, -5.0, -5)     # negative value extracted
 
 
+def test_event_props_stats_int64_overflow_parity(spark):
+    """Digit runs wider than int64 take their longest 18-digit prefix (the
+    {1,18} bound) on BOTH engines instead of diverging: Spark would NULL an
+    unbounded cast while DuckDB raises. 23 nines -> 18 nines extracted."""
+    rows = [
+        (0, T0, 1, "a", 1.0, '{"k": 12}'),
+        (1, T0, 1, "a", 1.0, '{"k": ' + "9" * 23 + "}"),
+        (2, T0, 1, "a", 1.0, '{"k": -' + "8" * 30 + "}"),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    )
+    r = event_props_stats(ev, key="k").collect()[0]
+    assert r.n_with_key == 3  # no row silently dropped
+    assert r.max_val == int("9" * 18)
+
+
 def test_events_testdata_consistency(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     sessions = sessionize(ev)

@@ -53,6 +53,57 @@ def stream_input(spark, tmp_path_factory):
     return inp
 
 
+def test_stream_sessions_merge_out_of_order_across_batches(spark, tmp_path):
+    """An event arriving in a LATER micro-batch with an EARLIER timestamp
+    (still above the watermark) must bridge two provisional sessions into
+    one — the open-interval-merge state handles within-watermark reordering
+    that a keep-only-the-latest-session state would get wrong.
+
+    user 0: events at minutes 0 and 40 arrive first (gap 40 > 30 -> two
+    provisional sessions), then minute 20 arrives in batch 2 (bridges both:
+    gaps 20 and 20), then minute 120 in batch 3 (watermark 90 closes the
+    merged [0,40] session)."""
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batches = [
+        [(0, T0, 0, "a", 0.0, "{}"),
+         (1, T0 + dt.timedelta(minutes=40), 0, "a", 0.0, "{}")],
+        [(2, T0 + dt.timedelta(minutes=20), 0, "a", 0.0, "{}")],
+        [(3, T0 + dt.timedelta(minutes=120), 0, "a", 0.0, "{}")],
+    ]
+    for j, rows in enumerate(batches):
+        d = f"{inp}/chunk={j}"
+        spark.createDataFrame(pd.DataFrame(rows, columns=cols)) \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000_000 + j, 1_000_000_000 + j))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/chunk=*")
+        .withWatermark("ts", "30 minutes")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=GAP_S)
+        .writeStream.format("memory")
+        .queryName("ev_sessions_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        (r.user_id, r.session_start_us, r.n_events, r.duration_s)
+        for r in spark.sql("SELECT * FROM ev_sessions_ooo").collect()
+    ]
+    start_us = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    # exactly ONE closed session: minutes 0+20+40 merged; minute-120 stays open
+    assert got == [(0, start_us, 3, 2400.0)]
+
+
 def test_stream_sessions_match_batch_on_closed_sessions(spark, stream_input, tmp_path):
     stream = (
         spark.readStream.schema(SCHEMA)
