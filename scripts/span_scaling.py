@@ -103,6 +103,14 @@ def run_scale(spark, n_docs: int) -> dict:
         strip_duplicate_spans,
     )
 
+    # spill-aware shuffle sizing: the window-hash relation is ~250 rows/doc
+    # (one 32-byte md5 per token position on these long docs) — at 500k docs
+    # that is ~165M shuffle rows, and 32 partitions put ~5M rows (~0.5 GB
+    # with agg state) in each hash-agg task. Scale the INITIAL partition
+    # count with the data (AQE coalesces small scales back down), exactly
+    # the sizing rule a 100-TB run applies via spark.sql.shuffle.partitions.
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(CPUS, n_docs // 4000)))
+
     data_dir = f"{WORK_DIR}/docs_{n_docs}"
     synth_long_docs(spark, n_docs).write.mode("overwrite").parquet(data_dir)
     docs = spark.read.parquet(data_dir)
@@ -161,8 +169,11 @@ def main() -> None:
     }
     out = {
         "protocol": (
-            f"local[{CPUS}], shuffle_partitions={CPUS}, one timed pass per op per "
-            f"scale after a page-cache warm; w={W} (Lee et al. span width) over "
+            f"local[{CPUS}], shuffle partitions scaled with the data "
+            f"(max({CPUS}, n_docs/4000) initial, AQE coalesces small scales) — "
+            "the spill-aware sizing rule a 100-TB run applies; one timed pass "
+            f"per op per scale after a page-cache warm; w={W} (Lee et al. span "
+            "width) over "
             "long docs (100-400 background tokens, 50k-word high-entropy vocab); "
             f"20% of docs embed one of {N_PASSAGES} fixed {PASSAGE_TOKENS}-token "
             "passages at a deterministic offset (linear occurrence growth). "
