@@ -181,13 +181,37 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95, id_col: str
     within-bucket stage of the composed path. Never call this on a full
     web-scale corpus: use lsh_neardup_pairs, which applies exactly this
     predicate inside bounded LSH buckets.
-    """
-    a = corpus.select(F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = corpus.select(F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("vb"))
-    joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return joined.select("vec_a", "vec_b", r4(cos).alias("cos")).filter(
-        F.col("cos") >= threshold
+
+    Executed as a BLAS block matmul: the (small, by contract) corpus matrix
+    is collected/normalized once driver-side and each Arrow batch multiplies
+    its rows against it — one vectorized pass, O(n^2 * dim) flops in BLAS.
+    The previous form was a `vec_a < vec_b` theta-join, which Spark can only
+    plan as BroadcastNestedLoopJoin with a per-PAIR Catalyst `aggregate`
+    fold for the dot product: measured 54s vs <1s for ~5k vectors at sf0.1,
+    same rows (the r4 rounding absorbs BLAS-vs-fold summation-order fp
+    noise, exactly as the matmul top-k paths already rely on)."""
+    spark = corpus.sparkSession
+    ids, mat = _collect_queries(corpus, id_col, vec_col)
+    if ids.size == 0:
+        return local_rows_df(spark, [], "vec_a long, vec_b long, cos double")
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _stack(pdf[vec_col])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            cos = _r4_np(mn @ matn.T)
+            hit = (cos >= threshold) & (a_ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai], "vec_b": ids[bj], "cos": cos[ai, bj]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, "vec_a long, vec_b long, cos double"
     )
 
 
