@@ -67,6 +67,11 @@ from rustserini_spark.operators.curation import (
 )
 from rustserini_spark.operators.index_build import build_index
 from rustserini_spark.operators.search import bm25_search_pruned
+from rustserini_spark.operators.webtext import (
+    canonical_url_col,
+    host_stats,
+    url_dedup_latest,
+)
 from rustserini_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -1687,6 +1692,128 @@ def q_ann_ivf_recall(spark, sf_dir):
     return _mean_recall_frame(_ann_topk_ivf(spark, sf_dir), exact, ANN_IVF_RECALL_GATE)
 
 
+# --------------------------------------------- url-level curation (webtext) --
+# The testdata dirs carry no webtext table, so the url ops run over a
+# DETERMINISTIC side table derived from documents: every field is a pure
+# function of doc_id (plus the documents text column for page sizes), dumped
+# driver-side as parquet that BOTH engines read — the Spark op and the DuckDB
+# oracle then implement the canonicalization spec INDEPENDENTLY (Catalyst
+# regex/array chain vs DuckDB regex/list chain), so the two implementations
+# check each other value-exactly.
+
+
+def _webtext_urls_path(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "")
+    return f"{_ORACLE_SIDE_DIR}/webtext_urls_{tag}.parquet"
+
+
+def _dump_webtext_urls(sf_dir: str) -> str:
+    """(url, warc_ts, text): ~3 raw crawls per canonical page — scheme,
+    www-prefix, host case, trailing-slash, tracking-param, param-order and
+    fragment variants planted deterministically so every canonicalization
+    rule is load-bearing; warc_ts strictly increasing in doc_id so
+    keep-latest has a unique, checkable winner."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_SIDE_DIR, exist_ok=True)
+    path = _webtext_urls_path(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    urls, stamps, texts = [], [], []
+    t0 = _dt.datetime(2024, 1, 1)
+    for i, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        i = int(i)
+        g = i // 3  # page group: the canonical identity
+        scheme = "http" if i % 4 == 0 else "https"
+        www = ("www.", "WWW.", "")[i % 3]
+        hname = ("Host" if i % 5 == 0 else "host") + str(g % 23)
+        host = f"{www}{hname}.example{g % 7}.org"
+        ppath = f"/page/{g}" + ("/" if i % 2 == 0 else "")
+        params = ("?utm_source=feed&x=1&b=2", "?b=2&x=1", "?x=1&b=2&fbclid=abc")[i % 3]
+        frag = "#sec" if i % 6 == 0 else ""
+        urls.append(f"{scheme}://{host}{ppath}{params}{frag}")
+        stamps.append(t0 + _dt.timedelta(hours=i))
+        texts.append("" if text is None else str(text))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls),
+                "warc_ts": pa.array(stamps, pa.timestamp("us")),
+                "text": pa.array(texts),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _webtext_urls_df(spark, sf_dir):
+    return spark.read.parquet(_dump_webtext_urls(sf_dir))
+
+
+def q_canonical_urls(spark, sf_dir):
+    """Map-only canonical form of every raw crawl url (webtext.canonical_url_col)."""
+    wt = _webtext_urls_df(spark, sf_dir)
+    return wt.select("url", canonical_url_col("url").alias("canonical_url"))
+
+
+def q_url_dedup_latest(spark, sf_dir):
+    return url_dedup_latest(_webtext_urls_df(spark, sf_dir))
+
+
+def q_host_stats(spark, sf_dir):
+    return host_stats(_webtext_urls_df(spark, sf_dir))
+
+
+def _canon_cte(path: str) -> str:
+    """DuckDB CTE chain ending in c(url, warc_ts, n_chars, canonical_url) —
+    the independent reimplementation of webtext.canonical_url_col (coalesce
+    guards where DuckDB returns NULL and Spark returns '': regexp_extract on
+    no match, array_to_string on an empty list)."""
+    return f"""
+w AS (SELECT url, warc_ts, length(text) AS n_chars FROM read_parquet('{path}')),
+s1 AS (SELECT *, regexp_replace(regexp_replace(url, '#.*$', ''), '^https?://', '') AS u FROM w),
+s2 AS (SELECT *, coalesce(regexp_extract(u, '^([^/?]*)', 1), '') AS hraw FROM s1),
+s3 AS (SELECT *, regexp_replace(lower(hraw), '^www\\.', '') AS host, substr(u, length(hraw) + 1) AS rest FROM s2),
+s4 AS (SELECT *, regexp_replace(coalesce(regexp_extract(rest, '^([^?]*)', 1), ''), '/+$', '') AS path,
+              coalesce(regexp_extract(rest, '\\?(.*)$', 1), '') AS qstr FROM s3),
+s5 AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(qstr, '&'),
+              p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_eid|mc_cid)='))), '&'), '') AS qcanon FROM s4),
+c AS (SELECT url, warc_ts, n_chars,
+             host || path || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS canonical_url FROM s5)
+"""
+
+
+def _canonical_urls_sql(sf_dir: str) -> str:
+    return f"WITH {_canon_cte(_dump_webtext_urls(sf_dir))} SELECT url, canonical_url FROM c"
+
+
+def _url_dedup_latest_sql(sf_dir: str) -> str:
+    return f"""
+WITH {_canon_cte(_dump_webtext_urls(sf_dir))},
+ranked AS (SELECT canonical_url, url, warc_ts,
+                  row_number() OVER (PARTITION BY canonical_url
+                                     ORDER BY warc_ts DESC, url DESC) AS rn FROM c)
+SELECT canonical_url, url, warc_ts FROM ranked WHERE rn = 1
+"""
+
+
+def _host_stats_sql(sf_dir: str) -> str:
+    return f"""
+WITH {_canon_cte(_dump_webtext_urls(sf_dir))},
+d AS (SELECT *, coalesce(regexp_extract(canonical_url, '^([^/?]*)', 1), '') AS chost FROM c),
+d2 AS (SELECT *, CASE WHEN regexp_matches(chost, '[^.]\\.[^.]')
+                      THEN coalesce(regexp_extract(chost, '([^.]+\\.[^.]+)$', 1), '')
+                      ELSE chost END AS domain FROM d)
+SELECT domain, count(*) AS n_pages, count(DISTINCT canonical_url) AS n_canonical,
+       {sql_r4('1 - count(DISTINCT canonical_url) / count(*)')} AS dup_rate,
+       {sql_r4('avg(n_chars)')} AS avg_chars
+FROM d2 GROUP BY domain
+"""
+
+
 # ------------------------------------------------------------- contract ----
 
 
@@ -1744,6 +1871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "canonical_urls": q_canonical_urls,
+        "url_dedup_latest": q_url_dedup_latest,
+        "host_stats": q_host_stats,
     }
 
 
@@ -1761,6 +1891,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if os.path.isdir(sf_dir) or os.path.isfile(sf_dir):
         side["bm25_topk_porter"] = _bm25_porter_sql(sf_dir=sf_dir)
         side["encode_knn"] = _encode_knn_sql(sf_dir=sf_dir)
+        side["canonical_urls"] = _canonical_urls_sql(sf_dir)
+        side["url_dedup_latest"] = _url_dedup_latest_sql(sf_dir)
+        side["host_stats"] = _host_stats_sql(sf_dir)
     return {
         **side,
         "term_frequency": f"WITH {_DOCS_CTE}, {_TF_CTE} SELECT doc_id, term, tf FROM tf",

@@ -76,6 +76,9 @@ BENCH_QUERIES = (
     "embedding_cosine_topk",
     "ann_lsh_recall",
     "encode_knn",
+    "canonical_urls",
+    "url_dedup_latest",
+    "host_stats",
 )
 # r7 rename note: "lsh_neardup"/"ann_lsh_topk" became the value-checked
 # *_recall entries — each now times the ANN pass PLUS the exact-recall join

@@ -327,7 +327,23 @@ def minhash_verified_pairs(
     docs_c = docs.select(F.col(id_col), F.col(text_col)).join(
         cand_docs, id_col, "left_semi"
     )
-    sh = doc_shingles(docs_c, text_col, id_col)
+    # verify-side shingles are hashed to 64-bit ints MAP-SIDE, before the
+    # set-dedup shuffle: every verify exchange (shingle distinct, the keyed
+    # join, the (pair, shingle) agg) then carries an 8-byte long instead of a
+    # raw 3-token string (~20-30 bytes on web text). The measured 4N penalty
+    # on this op is shuffle-byte-driven (+25% executor-core-seconds from
+    # cross-JVM remote fetches, BENCH/BASELINE.md), so narrowing the key
+    # attacks the non-scaling term directly. Jaccard over hashed sets equals
+    # jaccard over raw shingle sets unless two DISTINCT shingles of one
+    # candidate doc collide in 64 bits (P ~ s^2/2^65 per doc, ~1e-11 at
+    # s=10k shingles) — the op's error is still dominated by LSH candidate
+    # recall, and the sf0.01/200k outputs are verified identical to the
+    # string-keyed verify.
+    sh = (
+        doc_shingles(docs_c, text_col, id_col, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     # fused verify: pair -> its two doc ids -> one keyed join against the
     # candidate-only shingles -> (pair, shingle) agg counting sides -> pair
     # agg: union = distinct shingles across both docs, inter = shingles seen

@@ -46,6 +46,7 @@ from rustserini_spark.operators.index_build import (
     assemble_index,
     build_index_checkpointed,
 )
+from rustserini_spark.functions.parity import r4
 from rustserini_spark.sources.synth import docmap_from_urls, extract_text_col
 
 N_ID_BUCKETS_DEFAULT = 64  # docid hash buckets: a BUILD parameter (ids are a
@@ -359,3 +360,105 @@ def resolve_urls(results: DataFrame, docmap: DataFrame) -> DataFrame:
     return results.join(F.broadcast(docmap), "doc_id").select(
         "qid", "doc_id", "url", "score", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level curation (Common-Crawl recrawl hygiene)
+# ---------------------------------------------------------------------------
+# A web corpus carries the same page many times: recrawls across warc_ts,
+# scheme/www/case variants, and tracking-parameter decorations
+# (utm_*/fbclid/...). Collapsing those BEFORE content-level dedup is the
+# cheapest reduction in the whole pipeline — pure string canonicalization is
+# map-only whole-stage codegen, and keep-latest-crawl is one keyed
+# aggregation — so at 100 TB it runs first, ahead of the minhash/simhash
+# passes whose cost scales with surviving rows. Mirrors the corpus-iterator
+# ingest surface of the reference (docs keyed by a caller-supplied id,
+# /root/reference/examples/misc/collection_iterator.py semantics): here the
+# id is the canonical url.
+
+# key=value prefixes dropped from query strings: click/campaign trackers that
+# never change page content (Java-regex and RE2 portable; the DuckDB oracle
+# replays the same pattern)
+TRACKING_PARAM_RE = "^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_eid|mc_cid)="
+
+
+def canonical_url_col(url):
+    """Canonical form of an http(s) url, as a pure Catalyst column:
+
+      1. drop the fragment (``#...``) and the ``http(s)://`` scheme;
+      2. lowercase the host (dns is case-insensitive; paths are NOT touched —
+         they are case-significant), drop one leading ``www.``;
+      3. drop trailing ``/`` runs from the path;
+      4. drop tracking parameters (TRACKING_PARAM_RE) from the query string
+         and sort the survivors, so param ORDER never splits a page.
+
+    Every step is a regexp/array builtin — map-only, no UDF, no shuffle. The
+    same spec is reimplemented independently in DuckDB SQL by the
+    ``canonical_urls`` oracle, so the two regex/sort chains check each other.
+    """
+    u = F.regexp_replace(F.col(url) if isinstance(url, str) else url, "#.*$", "")
+    u = F.regexp_replace(u, "^https?://", "")
+    hraw = F.regexp_extract(u, "^([^/?]*)", 1)
+    host = F.regexp_replace(F.lower(hraw), "^www\\.", "")
+    rest = F.substr(u, F.length(hraw) + F.lit(1))
+    path = F.regexp_replace(F.regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    qstr = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host, path, F.when(qcanon == "", "").otherwise(F.concat(F.lit("?"), qcanon))
+    )
+
+
+def url_dedup_latest(webtext: DataFrame, ts_col: str = "warc_ts") -> DataFrame:
+    """(canonical_url, url, warc_ts): ONE kept crawl per canonical url — the
+    newest ``warc_ts``, ties broken by max raw url (total order, so the
+    survivor is a pure function of the row set — rank-parity safe at any
+    parallelism).
+
+    Plan shape at scale: map-side canonicalize -> ONE max-struct aggregation
+    on canonical_url (map-side combined; no window, no sort, no join — a
+    row_number window over 10^12 rows would sort every partition for a
+    per-group argmax that a struct max computes in the combiner).
+    """
+    keyed = webtext.select(
+        canonical_url_col("url").alias("canonical_url"),
+        F.struct(F.col(ts_col).alias("warc_ts"), F.col("url").alias("url")).alias("_v"),
+    )
+    best = keyed.groupBy("canonical_url").agg(F.max("_v").alias("_v"))
+    return best.select("canonical_url", F.col("_v.url").alias("url"), F.col("_v.warc_ts").alias("warc_ts"))
+
+
+def host_stats(webtext: DataFrame, min_pages: int = 1) -> DataFrame:
+    """(domain, n_pages, n_canonical, dup_rate, avg_chars): RefinedWeb-style
+    per-domain crawl profile over the registered domain (last two host
+    labels): how many raw crawls, how many distinct canonical pages, the
+    recrawl/variant duplication rate, and mean page size.
+
+    One groupBy(domain) with a count-distinct — Spark plans it as the
+    standard two-phase distinct-expand aggregation, still a single shuffle
+    key (no all-pairs, no join). dup_rate is derived from the two counts
+    post-agg so it is bit-stable across partitionings.
+    """
+    canon = canonical_url_col("url")
+    chost = F.regexp_extract(canon, "^([^/?]*)", 1)
+    dom = F.when(
+        chost.rlike("[^.]\\.[^.]"), F.regexp_extract(chost, "([^.]+\\.[^.]+)$", 1)
+    ).otherwise(chost)
+    rows = webtext.select(
+        dom.alias("domain"),
+        canon.alias("canonical_url"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    out = rows.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("canonical_url").alias("n_canonical"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+    )
+    return out.filter(F.col("n_pages") >= min_pages).withColumn(
+        "dup_rate",
+        r4(1 - F.col("n_canonical") / F.col("n_pages")),
+    ).select("domain", "n_pages", "n_canonical", "dup_rate", "avg_chars")
