@@ -55,7 +55,11 @@ LEVELS = ((1, 4), (4, 4))
 EXEC_MEM_MB = 10240
 WORK = "/tmp/curpar_scaling"
 DATA_DIR = f"{WORK}/docs_{N_DOCS}"
-OUT_PATH = os.path.join(REPO, "BENCH", "curation_parallel_scaling.json")
+# CURPAR_OUT overrides the destination so probe/A-B runs can never clobber
+# the committed evidence file (the round-5/6 snapshot-race failure mode)
+OUT_PATH = os.environ.get(
+    "CURPAR_OUT", os.path.join(REPO, "BENCH", "curation_parallel_scaling.json")
+)
 OPS = ("minhash_sig_build", "lsh_verified", "strip_spans", "curation_pipeline")
 
 
