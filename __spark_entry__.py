@@ -41,10 +41,13 @@ from rustserini_spark.operators.events import (
     windowed_event_stats,
 )
 from rustserini_spark.operators.dedup import (
+    build_minhash_table,
+    dedup_increment,
     dup_clusters,
     duplicate_span_stats,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_probe_pairs,
     minhash_verified_pairs,
     strip_duplicate_spans,
     ngram_jaccard_pairs,
@@ -58,6 +61,7 @@ from rustserini_spark.operators.curation import (
     PII_RULES,
     curate_corpus,
     filter_by_source_stats,
+    lm_perplexity_scores,
     ngram_decontaminate,
     pii_scrub,
     remove_frequent_lines,
@@ -1814,6 +1818,138 @@ FROM d2 GROUP BY domain
 """
 
 
+# ---------------------------------------- incremental dedup + LM quality ----
+
+# The "new crawl snapshot" is derived deterministically from the corpus
+# itself (every INCR_MOD-th doc re-appears under a shifted id), so cross-
+# corpus collisions are guaranteed non-vacuous with no external data — the
+# same self-derivation trick as the decontamination benchmark set. Half the
+# snapshot (doc_id % FRESH_MOD == 0) gets id-salted never-seen text so the
+# SURVIVE branch of the anti-join is exercised too, not just the collide
+# branch (all-verbatim copies would make dedup_increment vacuously empty).
+INCR_MOD = 7
+FRESH_MOD = 14
+INCR_OFFSET = 1_000_000
+LM_ALPHA = 0.5
+
+
+def _new_snapshot(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    fresh = F.concat_ws(
+        " ", F.concat(F.lit("uq"), i, F.lit("a")), F.concat(F.lit("uq"), i, F.lit("b")),
+        F.concat(F.lit("uq"), i, F.lit("c")), F.concat(F.lit("uq"), i, F.lit("d")),
+    )
+    return docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        (F.col("doc_id") + INCR_OFFSET).alias("doc_id"),
+        F.when(F.col("doc_id") % FRESH_MOD == 0, fresh).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def _base_sig_table(spark, sf_dir):
+    import tempfile
+
+    return build_minhash_table(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        tempfile.mkdtemp(prefix="incr_sig_"),
+    )
+
+
+def q_minhash_probe_pairs(spark, sf_dir):
+    """Incremental-crawl dedup, probe half: LSH candidate pairs between a
+    new snapshot and the base corpus, where the base corpus is touched ONLY
+    through its materialized (doc_id, h0..h15) signature table — the new
+    side is the only text that is ever tokenized."""
+    return minhash_probe_pairs(_new_snapshot(spark, sf_dir), _base_sig_table(spark, sf_dir))
+
+
+def q_dedup_increment(spark, sf_dir):
+    """Incremental-crawl dedup, append half: new-snapshot docs whose bands
+    collide with nothing already in the base corpus (the rows a daily
+    ingest would append)."""
+    return dedup_increment(_new_snapshot(spark, sf_dir), _base_sig_table(spark, sf_dir)).select(
+        "doc_id"
+    )
+
+
+def _band_ctes_pfx(pfx: str, src: str) -> str:
+    """Prefixed (sig, bands) CTE pair so one query can band two corpora."""
+    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASHES))
+    rpb = N_MINHASHES // N_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, md5(concat_ws('|', "
+        + ", ".join(f"h{bi * rpb + j}" for j in range(rpb))
+        + f")) AS band_hash FROM {pfx}sig"
+        for bi in range(N_BANDS)
+    )
+    return (
+        f"{pfx}sig AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id),\n"
+        f"{pfx}bands AS ({band_selects})"
+    )
+
+
+def _incr_ctes() -> str:
+    return f"""{_DOCS_CTE},
+{_SH_CTE},
+nraw AS (SELECT d.doc_id + {INCR_OFFSET} AS doc_id,
+                CASE WHEN d.doc_id % {FRESH_MOD} = 0
+                     THEN 'uq' || d.doc_id || 'a uq' || d.doc_id || 'b uq' || d.doc_id || 'c uq' || d.doc_id || 'd'
+                     ELSE d.text END AS text
+         FROM documents d WHERE d.doc_id % {INCR_MOD} = 0),
+ndocs AS (SELECT doc_id, {_TOKS} AS toks FROM nraw),
+nsh AS (SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({_SHINGLE_EXPR}) AS shingle FROM ndocs)),
+{_band_ctes_pfx('b', 'sh')},
+{_band_ctes_pfx('n', 'nsh')}"""
+
+
+def _probe_pairs_sql() -> str:
+    return f"""
+WITH {_incr_ctes()}
+SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+FROM nbands n JOIN bbands b ON n.band_id = b.band_id AND n.band_hash = b.band_hash
+"""
+
+
+def _dedup_increment_sql() -> str:
+    return f"""
+WITH {_incr_ctes()},
+hits AS (SELECT DISTINCT n.doc_id FROM nbands n
+         JOIN bbands b ON n.band_id = b.band_id AND n.band_hash = b.band_hash)
+SELECT doc_id FROM ndocs WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020): per-doc
+    perplexity under an add-alpha unigram LM trained on the corpus itself.
+    Zero-token docs are unscored; sums are r4-rounded on both sides (the
+    bm25 float-parity protocol)."""
+    scores = lm_perplexity_scores(
+        _docs(spark, sf_dir).select("doc_id", "text"), alpha=LM_ALPHA
+    )
+    return scores.select(
+        "doc_id",
+        "n_toks",
+        r4(F.col("avg_nll")).alias("avg_nll"),
+        r4(F.col("ppl")).alias("ppl"),
+    )
+
+
+def _lm_perplexity_sql(alpha: float = LM_ALPHA) -> str:
+    return f"""
+WITH {_DOCS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM lm),
+perdoc AS (SELECT doc_id, count(*) AS n_toks,
+                  sum(-ln((cnt + {alpha}) / (n + {alpha} * v))) AS s
+           FROM tok JOIN lm USING (term) CROSS JOIN stats GROUP BY doc_id)
+SELECT doc_id, n_toks, {sql_r4('s / n_toks')} AS avg_nll, {sql_r4('exp(s / n_toks)')} AS ppl
+FROM perdoc
+"""
+
+
 # ------------------------------------------------------------- contract ----
 
 
@@ -1874,6 +2010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_dedup_latest": q_url_dedup_latest,
         "host_stats": q_host_stats,
+        "minhash_probe_pairs": q_minhash_probe_pairs,
+        "dedup_increment": q_dedup_increment,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -1950,4 +2089,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "ann_lsh_recall": _ann_recall_sql(ANN_LSH_RECALL_GATE),
         "ann_ivf_recall": _ann_recall_sql(ANN_IVF_RECALL_GATE),
         "lsh_neardup_recall": _lsh_neardup_recall_sql(LSH_NEARDUP_RECALL_GATE),
+        "minhash_probe_pairs": _probe_pairs_sql(),
+        "dedup_increment": _dedup_increment_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
     }

@@ -79,6 +79,9 @@ BENCH_QUERIES = (
     "canonical_urls",
     "url_dedup_latest",
     "host_stats",
+    "minhash_probe_pairs",
+    "dedup_increment",
+    "lm_perplexity",
 )
 # r7 rename note: "lsh_neardup"/"ann_lsh_topk" became the value-checked
 # *_recall entries — each now times the ANN pass PLUS the exact-recall join

@@ -420,3 +420,81 @@ def training_mix_sample(
         *[x for k, v in sorted(rates.items()) for x in (F.lit(k), F.lit(float(v)))]
     )[F.col(strat_col)]
     return docs.filter(u < F.coalesce(rate, F.lit(0.0)))
+
+
+def unigram_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, cnt) unigram counts over the corpus — the train half of the
+    LM-perplexity quality filter (CCNet-style: Wenzek et al. 2020 filter
+    CommonCrawl by LM perplexity; a count LM over a trusted corpus is the
+    shuffle-shaped core of that signal). One groupBy(term) shuffle with
+    map-side combine; materialize to parquet for train-once/score-many."""
+    toks = with_tokens(docs.select(id_col, text_col), text_col)
+    return (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    broadcast_lm: bool = False,
+    lm_path: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_toks, avg_nll, ppl) under an add-alpha-smoothed unigram LM.
+
+    P(w) = (cnt(w) + alpha) / (N + alpha * V) with N = total training tokens,
+    V = vocabulary size; avg_nll = mean over doc tokens of -ln P(w);
+    ppl = exp(avg_nll). Docs whose token list is empty are dropped (no
+    distribution to score). ``lm`` defaults to a LM trained on ``docs``
+    itself (self-perplexity: boilerplate and keyword-stuffed docs sit in the
+    low tail, lorem-ipsum-like token salad in the high tail); pass a table
+    from ``unigram_lm`` over a trusted corpus for the CCNet shape. Unseen
+    terms fall back to the alpha mass (left join + coalesce(cnt, 0)).
+
+    Plan at scale: explode tokens (map) -> join the LM on term -> one
+    groupBy(doc_id). The LM table is vocabulary-sized — tiny next to the
+    corpus — so pass broadcast_lm=True to pin a broadcast join and keep the
+    corpus-side relation shuffle-free until the per-doc agg; the (N, V)
+    scalar pair rides in as a 1-row broadcast cross join either way.
+
+    The LM relation is consumed TWICE (the term join and the (N, V) agg), so
+    when trained inline it is materialized to parquet first (``lm_path``, a
+    temp dir by default) — otherwise Catalyst re-derives the count subtree
+    per consumer and the corpus is scanned three times instead of once (the
+    train-once/score-many split; same policy as the minhash signature table).
+    """
+    if lm is None:
+        import tempfile
+
+        path = lm_path or tempfile.mkdtemp(prefix="unigram_lm_")
+        unigram_lm(docs, text_col, id_col).write.mode("overwrite").parquet(path)
+        lm = docs.sparkSession.read.parquet(path)
+    stats = lm.agg(
+        F.sum("cnt").cast("double").alias("_n"), F.count(F.lit(1)).cast("double").alias("_v")
+    )
+    toks = with_tokens(docs.select(id_col, text_col), text_col)
+    tokens = toks.select(F.col(id_col).alias("doc_id"), F.explode("toks").alias("term"))
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    joined = (
+        tokens.join(lm_side, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+                    / (F.col("_n") + F.lit(float(alpha)) * F.col("_v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"), F.sum("nll").alias("_sum_nll")
+    )
+    avg = F.col("_sum_nll") / F.col("n_toks")
+    return per_doc.select("doc_id", "n_toks", avg.alias("avg_nll"), F.exp(avg).alias("ppl"))
