@@ -56,6 +56,9 @@ from rustserini_spark.operators.dedup import (
     simhash_neardup_pairs,
     N_MINHASHES,
     N_BANDS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
 )
 from rustserini_spark.operators.curation import (
     PII_RULES,
@@ -159,19 +162,31 @@ SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _minhash_lane_mins() -> str:
+    """The 16 universal-hash lane aggregates over the per-shingle base hash
+    (exact mirror of dedup.minhash_signatures: h = int(md5(shingle)[:7 hex]),
+    lane_i = min((A[i]*h + B[i]) % P) — pure int64 arithmetic, identical in
+    both engines)."""
+    h = "CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT)"
+    return ", ".join(
+        f"min(({MINHASH_A[i]} * {h} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(N_MINHASHES)
+    )
+
+
 def _minhash_band_ctes(src: str = "sh") -> str:
     """sig + bands CTE text replaying the 16x8 banding over shingle CTE ``src``."""
-    mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASHES)
-    )
     rpb = N_MINHASHES // N_BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band_id, md5(concat_ws('|', "
-        + ", ".join(f"h{bi * rpb + j}" for j in range(rpb))
+        + ", ".join(f"CAST(h{bi * rpb + j} AS VARCHAR)" for j in range(rpb))
         + ")) AS band_hash FROM sig"
         for bi in range(N_BANDS)
     )
-    return f"sig AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id),\nbands AS ({band_selects})"
+    return (
+        f"sig AS (SELECT doc_id, {_minhash_lane_mins()} FROM {src} GROUP BY doc_id),\n"
+        f"bands AS ({band_selects})"
+    )
 
 
 _MINHASH_CAND_SELECT = """
@@ -1874,16 +1889,15 @@ def q_dedup_increment(spark, sf_dir):
 
 def _band_ctes_pfx(pfx: str, src: str) -> str:
     """Prefixed (sig, bands) CTE pair so one query can band two corpora."""
-    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_MINHASHES))
     rpb = N_MINHASHES // N_BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band_id, md5(concat_ws('|', "
-        + ", ".join(f"h{bi * rpb + j}" for j in range(rpb))
+        + ", ".join(f"CAST(h{bi * rpb + j} AS VARCHAR)" for j in range(rpb))
         + f")) AS band_hash FROM {pfx}sig"
         for bi in range(N_BANDS)
     )
     return (
-        f"{pfx}sig AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id),\n"
+        f"{pfx}sig AS (SELECT doc_id, {_minhash_lane_mins()} FROM {src} GROUP BY doc_id),\n"
         f"{pfx}bands AS ({band_selects})"
     )
 
