@@ -221,15 +221,49 @@ def _banded_pairs(
     )
 
 
+def build_minhash_band_table(
+    docs_or_sig: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
+    is_sig: bool = False,
+) -> DataFrame:
+    """Materialize the PROBE-READY band table (doc_id, band_id, band_hash)
+    to parquet: bands pre-exploded and hot buckets pre-dropped, so a probe
+    against this corpus does ZERO base-side compute — no band hashing, no
+    bucket-count aggregation, just an equi-join against a fixed-width scan.
+    One step further along the build-once/probe-many split than the
+    signature table (which still pays band explode + cap agg per probe —
+    at 500k docs that base-side work dominated the probe once the
+    universal-hash lanes made the snapshot side cheap). Pass ``is_sig=True``
+    when ``docs_or_sig`` is already a signature table."""
+    spark = docs_or_sig.sparkSession
+    sig = docs_or_sig if is_sig else minhash_signatures(
+        doc_shingles(docs_or_sig, text_col, id_col, distinct=True), n_hashes
+    )
+    bands = _band_explode(sig, n_hashes, n_bands)
+    if max_bucket is not None:
+        counts = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+        bands = bands.join(
+            counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_id", "band_hash"]
+        )
+    bands.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def minhash_probe_pairs(
     new_docs: DataFrame,
-    base_sig: DataFrame,
+    base_sig: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
     max_bucket: int | None = None,
     new_sig: DataFrame | None = None,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, base_id) LSH candidate pairs between a NEW crawl snapshot and
     an EXISTING corpus represented only by its materialized signature table.
@@ -252,12 +286,22 @@ def minhash_probe_pairs(
             doc_shingles(new_docs, text_col, id_col, distinct=True), n_hashes
         )
     new_bands = _band_explode(new_sig, n_hashes, n_bands)
-    base_bands = _band_explode(base_sig, n_hashes, n_bands)
-    if max_bucket is not None:
-        counts = base_bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
-        base_bands = base_bands.join(
-            counts.filter(F.col("_n") <= max_bucket).drop("_n"), ["band_id", "band_hash"]
-        )
+    if base_bands is None:
+        # signature-table path: band-hash + (optionally) cap the base side
+        # per probe. Pre-build a band table (build_minhash_band_table) when
+        # the same base serves many probes — then this whole branch is a
+        # parquet scan.
+        if base_sig is None:
+            raise ValueError("minhash_probe_pairs needs base_sig or base_bands")
+        base_bands = _band_explode(base_sig, n_hashes, n_bands)
+        if max_bucket is not None:
+            counts = base_bands.groupBy("band_id", "band_hash").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            base_bands = base_bands.join(
+                counts.filter(F.col("_n") <= max_bucket).drop("_n"),
+                ["band_id", "band_hash"],
+            )
     n, b = new_bands.alias("n"), base_bands.alias("b")
     return (
         n.join(
@@ -272,24 +316,27 @@ def minhash_probe_pairs(
 
 def dedup_increment(
     new_docs: DataFrame,
-    base_sig: DataFrame,
+    base_sig: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
     max_bucket: int | None = None,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """The survivors of an incremental crawl: new docs whose minhash bands
     collide with NO document already in the base corpus (see
     ``minhash_probe_pairs``). Anti-join on the probe result — the new
     snapshot is the only side that is ever tokenized, so appending a 0.1%
     daily snapshot to a 100 TB corpus costs one pass over the snapshot plus
-    an equi-join against the signature table."""
+    an equi-join against the signature table (or, with ``base_bands``, the
+    pre-capped band table — zero base-side compute per snapshot)."""
     new_sig = minhash_signatures(
         doc_shingles(new_docs, text_col, id_col, distinct=True), n_hashes
     )
     hits = minhash_probe_pairs(
-        new_docs, base_sig, text_col, id_col, n_hashes, n_bands, max_bucket, new_sig=new_sig
+        new_docs, base_sig, text_col, id_col, n_hashes, n_bands, max_bucket,
+        new_sig=new_sig, base_bands=base_bands,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new_docs.join(hits, id_col, "left_anti")
 

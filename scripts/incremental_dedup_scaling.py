@@ -105,6 +105,7 @@ def run_scale(spark, n_base: int) -> dict:
     from pyspark.sql import functions as F
 
     from rustserini_spark.operators.dedup import (
+        build_minhash_band_table,
         build_minhash_table,
         dedup_increment,
         minhash_lsh_pairs,
@@ -161,11 +162,24 @@ def run_scale(spark, n_base: int) -> dict:
     rec("increment", lambda: dedup_increment(
         snap, sig["df"], max_bucket=MINHASH_MAX_BUCKET).count())
 
+    # the band-table path: base-side band hashing + bucket capping paid ONCE
+    # at build, so the recurring probe is snapshot-sign + one parquet scan
+    band_dir = f"{WORK_DIR}/bands_{n_base}"
+    bands = {}
+    rec("band_table_build", lambda: bands.setdefault(
+        "df", build_minhash_band_table(
+            sig["df"], band_dir, max_bucket=MINHASH_MAX_BUCKET, is_sig=True)
+    ).count(), reps=1)
+    rec("probe_banded", lambda: minhash_probe_pairs(
+        snap, base_bands=bands["df"]).count())
+    rec("increment_banded", lambda: dedup_increment(
+        snap, base_bands=bands["df"]).count())
+
     # comparator: the full capped re-dedup a pipeline without the op pays
     rec("full_rededup", lambda: minhash_lsh_pairs(
         base.unionByName(snap), max_bucket=MINHASH_MAX_BUCKET).count())
 
-    for d in (base_dir, snap_dir, sig_dir):
+    for d in (base_dir, snap_dir, sig_dir, band_dir):
         shutil.rmtree(d, ignore_errors=True)
     return r
 

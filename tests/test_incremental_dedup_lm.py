@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from rustserini_spark.operators.curation import lm_perplexity_scores, unigram_lm
 from rustserini_spark.operators.dedup import (
+    build_minhash_band_table,
     build_minhash_table,
     dedup_increment,
     minhash_probe_pairs,
@@ -62,6 +63,28 @@ def test_dedup_increment_survivors(base_sig, new_docs):
     kept = {r.doc_id for r in dedup_increment(new_docs, base_sig).collect()}
     assert 100 not in kept and 101 not in kept
     assert kept >= {102, 103}
+
+
+def test_band_table_probe_matches_sig_table_probe(spark, base_docs, base_sig, new_docs, tmp_path):
+    bands = build_minhash_band_table(base_docs, str(tmp_path / "bands"))
+    via_bands = sorted(
+        (r.new_id, r.base_id)
+        for r in minhash_probe_pairs(new_docs, base_bands=bands).collect()
+    )
+    via_sig = sorted(
+        (r.new_id, r.base_id)
+        for r in minhash_probe_pairs(new_docs, base_sig).collect()
+    )
+    assert via_bands == via_sig and via_bands
+    # capped band table drops hot buckets at build time
+    viral = build_minhash_band_table(
+        spark.createDataFrame(
+            pd.DataFrame([(i, BASE_TEXTS[0][1]) for i in range(5)], columns=["doc_id", "text"])
+        ),
+        str(tmp_path / "viral_bands"),
+        max_bucket=4,
+    )
+    assert minhash_probe_pairs(new_docs, base_bands=viral).count() == 0
 
 
 def test_probe_max_bucket_caps_base_buckets(spark, new_docs, tmp_path):
