@@ -218,7 +218,10 @@ def main() -> None:
             "~512 B/doc) while full_rededup re-pays the base text pass — the "
             "gap must widen with base size. copy_recall = fraction of planted "
             "verbatim copies probed back to their base source in the same "
-            "timed pass."
+            "timed pass. probe_banded/increment_banded run against the "
+            "pre-capped band table (build_minhash_band_table; its build cost "
+            "is band_table_build) — zero base-side compute per probe, so the "
+            "banded curves must be ~flat in base size."
         ),
         "base_scales": BASE_SCALES,
         "results": results,
