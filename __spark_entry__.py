@@ -178,9 +178,9 @@ def _minhash_band_ctes(src: str = "sh") -> str:
     """sig + bands CTE text replaying the 16x8 banding over shingle CTE ``src``."""
     rpb = N_MINHASHES // N_BANDS
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band_id, md5(concat_ws('|', "
+        f"SELECT doc_id, {bi} AS band_id, CAST(('0x' || substr(md5(concat_ws('|', "
         + ", ".join(f"CAST(h{bi * rpb + j} AS VARCHAR)" for j in range(rpb))
-        + ")) AS band_hash FROM sig"
+        + ")), 1, 15)) AS BIGINT) AS band_hash FROM sig"
         for bi in range(N_BANDS)
     )
     return (
@@ -1891,9 +1891,9 @@ def _band_ctes_pfx(pfx: str, src: str) -> str:
     """Prefixed (sig, bands) CTE pair so one query can band two corpora."""
     rpb = N_MINHASHES // N_BANDS
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band_id, md5(concat_ws('|', "
+        f"SELECT doc_id, {bi} AS band_id, CAST(('0x' || substr(md5(concat_ws('|', "
         + ", ".join(f"CAST(h{bi * rpb + j} AS VARCHAR)" for j in range(rpb))
-        + f")) AS band_hash FROM {pfx}sig"
+        + f")), 1, 15)) AS BIGINT) AS band_hash FROM {pfx}sig"
         for bi in range(N_BANDS)
     )
     return (

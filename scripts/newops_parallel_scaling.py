@@ -8,13 +8,19 @@ shuffle_partitions=128, AQE ON — the engine session default — result parity
 asserted across levels). Measured jobs sized to stay above the multi-stage
 AQE sequencing floor the 200k lsh_verified measurement documented:
 
-  incr_probe     — minhash_probe_pairs(50k-doc snapshot, 200k-doc base sig
-                   table, max_bucket=16): the recurring cost of the
-                   incremental-dedup shape. The base sig table is pre-built
-                   ONCE at local[32] as shared level-independent input
-                   (same discipline as the 2M floor-recovery measurement);
-                   the snapshot tokenize+sign+band-join is what's timed.
-  lm_perplexity  — lm_perplexity_scores over the 200k corpus (LM trained
+  incr_probe     — minhash_probe_pairs(snapshot, base sig table,
+                   max_bucket=16): the recurring cost of the
+                   incremental-dedup shape, signature-table path (base-side
+                   band explode + cap agg paid per probe). The base sig
+                   table is pre-built ONCE at local[32] as shared
+                   level-independent input (same discipline as the 2M
+                   floor-recovery measurement); the snapshot
+                   tokenize+sign+band-join is what's timed.
+  incr_probe_banded — the DEPLOYMENT probe plan: pre-capped band table
+                   (zero base-side compute) + broadcast_new=True (the base
+                   relation is scanned map-side, never shuffled; the only
+                   shuffle is the candidate-sized distinct).
+  lm_perplexity  — lm_perplexity_scores over the corpus (LM trained
                    inline, materialized to a per-level temp path): explode
                    -> vocab join -> per-doc agg, the suite's classic
                    two-shuffle aggregation shape.
@@ -43,10 +49,11 @@ WORK = "/tmp/newops_par"
 DATA_DIR = f"{WORK}/docs_{N_DOCS}"
 SNAP_DIR = f"{WORK}/snap_{SNAP_DOCS}"
 SIG_DIR = f"{WORK}/sig_{N_DOCS}"  # shared, pre-built once at local[32]
+BANDS_DIR = f"{WORK}/bands_{N_DOCS}"  # pre-capped band table, same discipline
 OUT_PATH = os.environ.get(
     "NEWPAR_OUT", os.path.join(REPO, "BENCH", "newops_parallel_scaling.json")
 )
-OPS = ("incr_probe", "lm_perplexity")
+OPS = ("incr_probe", "incr_probe_banded", "lm_perplexity")
 
 
 def synth_snapshot(spark, n_base: int, n_snap: int):
@@ -74,7 +81,7 @@ def synth_snapshot(spark, n_base: int, n_snap: int):
     return spark.range(0, n_snap, 1, 32).mapInPandas(gen, "doc_id long, text string")
 
 
-def one_pass(spark, docs, snap, sig, tag: str) -> tuple[dict, dict]:
+def one_pass(spark, docs, snap, sig, bands, tag: str) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
     from rustserini_spark.functions.parity import r4
@@ -91,6 +98,8 @@ def one_pass(spark, docs, snap, sig, tag: str) -> tuple[dict, dict]:
 
     timed("incr_probe", lambda: minhash_probe_pairs(
         snap, sig, max_bucket=16).count())
+    timed("incr_probe_banded", lambda: minhash_probe_pairs(
+        snap, base_bands=bands, broadcast_new=True).count())
     lm_path = f"{WORK}/lm_{tag}"
     shutil.rmtree(lm_path, ignore_errors=True)
     # parity checksum: exact integer sum of per-doc floor(r4(avg_nll)*1e4)
@@ -114,6 +123,12 @@ def run_once(workers: int, cores: int) -> dict:
         shuffle_partitions=128,
         extra_conf={
             "spark.driver.memory": "8g",
+            # local-cluster's third arg is WORKER capacity; the executor
+            # request still defaults to 1g and the 2M-doc hash aggs blow a
+            # 1g heap (cannotAllocateMemoryToGrowBytesToBytesMap). Same
+            # per-executor memory at both levels — aggregate memory scales
+            # with executor count exactly as machine count would.
+            "spark.executor.memory": "9g",
             "spark.executorEnv.PYTHONPATH": REPO,
             "spark.sql.adaptive.enabled": "true",
             "spark.ui.enabled": "false",
@@ -122,9 +137,10 @@ def run_once(workers: int, cores: int) -> dict:
     docs = spark.read.parquet(DATA_DIR)
     snap = spark.read.parquet(SNAP_DIR)
     sig = spark.read.parquet(SIG_DIR)
-    docs.count(); snap.count(); sig.count()  # page cache + workers warm
-    one_pass(spark, docs, snap, sig, f"{workers}x{cores}_warm")  # C2-JIT warm
-    t, par = one_pass(spark, docs, snap, sig, f"{workers}x{cores}_timed")
+    bands = spark.read.parquet(BANDS_DIR)
+    docs.count(); snap.count(); sig.count(); bands.count()  # cache + warm
+    one_pass(spark, docs, snap, sig, bands, f"{workers}x{cores}_warm")  # C2-JIT warm
+    t, par = one_pass(spark, docs, snap, sig, bands, f"{workers}x{cores}_timed")
     spark.stop()
     return {"workers": workers, "cores": cores, "sec": t, "parity": par}
 
@@ -135,20 +151,30 @@ def main() -> None:
         return
 
     os.makedirs(WORK, exist_ok=True)
-    if not (os.path.isdir(DATA_DIR) and os.path.isdir(SNAP_DIR) and os.path.isdir(SIG_DIR)):
+    if not (os.path.isdir(DATA_DIR) and os.path.isdir(SNAP_DIR)
+            and os.path.isdir(SIG_DIR) and os.path.isdir(BANDS_DIR)):
         scripts_dir = os.path.dirname(os.path.abspath(__file__))
         sys.path.insert(0, scripts_dir)
         import curation_scaling as cs
 
         from rustserini_spark import get_spark
-        from rustserini_spark.operators.dedup import build_minhash_table
+        from rustserini_spark.operators.dedup import (
+            build_minhash_band_table,
+            build_minhash_table,
+        )
 
         spark = get_spark("newpar-prep", master="local[32]", shuffle_partitions=32)
         spark.sparkContext.addPyFile(os.path.join(scripts_dir, "curation_scaling.py"))
-        cs.synth_docs(spark, N_DOCS).write.mode("overwrite").parquet(DATA_DIR)
-        base = spark.read.parquet(DATA_DIR)
-        synth_snapshot(spark, N_DOCS, SNAP_DOCS).write.mode("overwrite").parquet(SNAP_DIR)
-        build_minhash_table(base, SIG_DIR)
+        if not os.path.isdir(DATA_DIR):
+            cs.synth_docs(spark, N_DOCS).write.mode("overwrite").parquet(DATA_DIR)
+        if not os.path.isdir(SNAP_DIR):
+            synth_snapshot(spark, N_DOCS, SNAP_DOCS).write.mode("overwrite").parquet(SNAP_DIR)
+        if not os.path.isdir(SIG_DIR):
+            build_minhash_table(spark.read.parquet(DATA_DIR), SIG_DIR)
+        if not os.path.isdir(BANDS_DIR):
+            build_minhash_band_table(
+                spark.read.parquet(SIG_DIR), BANDS_DIR, max_bucket=16, is_sig=True
+            )
         spark.stop()
 
     n_cpus = os.cpu_count() or 32
@@ -229,7 +255,10 @@ def main() -> None:
             "warmed JVMs (one untimed full pass), shuffle_partitions=128 and "
             f"AQE ON at both levels. incr_probe: {SNAP_DOCS}-doc snapshot vs a "
             f"{N_DOCS}-doc base signature table pre-built once at local[32] "
-            "(level-independent shared input). lm_perplexity: full "
+            "(level-independent shared input; base-side band+cap work paid "
+            "per probe). incr_probe_banded: same snapshot vs the pre-capped "
+            "band table with broadcast_new=True — the deployment plan (base "
+            "scanned map-side, never shuffled). lm_perplexity: full "
             f"{N_DOCS}-doc corpus, LM trained inline per pass. eff = "
             "(t_N / t_4N) / 4; parity = identical op results across all runs "
             "of both levels (lm checksum = exact integer sum of per-doc "
