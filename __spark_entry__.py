@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from rustserini_spark.analysis import LUCENE_ENGLISH_STOPWORDS
 from rustserini_spark.functions.parity import r4, sql_r4
+from rustserini_spark.session import fan_out
 from rustserini_spark.functions.text import (
     BPE_ISH_PATTERN,
     LANG_MARKERS,
@@ -1079,15 +1080,18 @@ WHERE rank <= {k}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: the fixtures are ONE single-row-group parquet file, so without
+    # it every pre-shuffle map pass (tokenize/shingle/signature kernels) runs
+    # as one task; a real many-file table skips the repartition (see fan_out).
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 _EMB_DIM_MEMO: dict[str, int] = {}
@@ -1527,12 +1531,20 @@ def q_lsh_neardup_recall(spark, sf_dir):
     emb = _emb_with_planted(spark, sf_dir)
     approx = lsh_neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.95, n_planes=8)
     exact = cosine_neardup_pairs(emb, threshold=0.95)
-    hit = exact.select("vec_a", "vec_b").join(
-        approx.select("vec_a", "vec_b"), ["vec_a", "vec_b"]
-    )
     gate = float(LSH_NEARDUP_RECALL_GATE)
-    return exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")).crossJoin(
-        hit.agg(F.count(F.lit(1)).alias("_n_hit"))
+    # ONE pass over the exact BLAS pair set: left-join the approx pairs onto
+    # it and count total vs matched in a single aggregation. The previous
+    # shape consumed `exact` twice (inner-join hit count + separate total
+    # count), recomputing the full O(n^2) cosine verify per consumer —
+    # result-identical because approx pairs are unique (groupBy(vec_a,vec_b)
+    # tail) so count(_hit) == the old inner-join row count.
+    marked = exact.select("vec_a", "vec_b").join(
+        approx.select("vec_a", "vec_b", F.lit(1).alias("_hit")),
+        ["vec_a", "vec_b"],
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"), F.count("_hit").alias("_n_hit")
     ).select(
         "n_exact_pairs",
         F.lit(gate).alias("recall_gate"),

@@ -9,4 +9,4 @@ layout with per-partition lineage for resumable index builds.
 
 __version__ = "0.1.0"
 
-from rustserini_spark.session import get_spark  # noqa: F401
+from rustserini_spark.session import fan_out, get_spark  # noqa: F401

@@ -397,7 +397,18 @@ def ngram_jaccard_pairs(
     surviving pairs is a (tight) lower bound; true near-dups (J >= 0.8) share
     many rare shingles and still pair up. Default None = exact.
     """
-    sh = doc_shingles(docs, text_col, id_col)
+    # shingles hashed to 64-bit ints MAP-SIDE, before the set-dedup shuffle:
+    # the distinct, the inverted self-join and the (doc_a, doc_b) pair agg
+    # then all carry an 8-byte long instead of an n-token string (~20-40
+    # bytes on web text) — the same key-narrowing minhash_verified_pairs
+    # ships (see its docstring for the collision analysis: jaccard over
+    # hashed sets equals jaccard over raw sets unless two distinct shingles
+    # of one candidate pair collide in 64 bits, ~1e-11 per doc).
+    sh = (
+        doc_shingles(docs, text_col, id_col, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     # sizes from the exploded relation: the groupBy rides the SAME exchange
     # the join side produces (ReusedExchange) — a map-only array_distinct
     # variant was measured slower (duplicated un-reusable tokenize subtree)
@@ -500,6 +511,16 @@ def minhash_verified_pairs(
             n_hashes,
         )
     cand = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, n_bands, max_bucket, sig)
+    # candidate pairs are consumed by TWO branches below (the docs-level
+    # semi-join id set AND the pair-explode verify input), so materialize
+    # them once — same build-once policy as the signature table; without
+    # this the banded self-join + distinct runs once per consumer (measured
+    # sf1.0: ~2x the candidate stage inside the verified op).
+    import tempfile
+
+    cand_path = tempfile.mkdtemp(prefix="minhash_cand_")
+    cand.write.mode("overwrite").parquet(cand_path)
+    cand = docs.sparkSession.read.parquet(cand_path)
     # semi-join reduction AT THE DOCS LEVEL: only docs in a candidate pair
     # need shingling in the verify, so the candidate-id set filters the RAW
     # docs before tokenization — tokenize + shingle-dedup work scales with
@@ -852,25 +873,50 @@ def simhash_neardup_pairs(
         )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.band_id").alias("band_id"),
+        (F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("_xor"),
     )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+    # Verify BEFORE any pair-level shuffle: hamming is a pure function of the
+    # row, so filtering first is result-identical to the old
+    # distinct-then-filter — but the popcount filter kills the quadratic
+    # bucket fan-out (tens of millions of rows at 8-bit bands over 50k docs)
+    # inside the join's codegen stage instead of shuffling it into a
+    # 4-column DISTINCT hash-aggregate (measured at sf1.0: that distinct WAS
+    # the query — 118s wall, and the heap-OOM suspect in the driver's rep 2).
+    cand = cand.filter(F.expr("bit_count(_xor)") <= max_hamming)
+    width = SIMHASH_BITS // n_bands
+    if max_bucket is None and n_bands > 1:
+        # Dedup multi-band matches WITHOUT a shuffle: emit a pair only from
+        # its FIRST matching band. Band j matches iff bit-slice j of the xor
+        # is zero, so `band_id == (position of first zero slice)` holds for
+        # exactly one of the pair's join rows — the output is unique by
+        # construction and the post-join plan is shuffle-free. (Only valid
+        # when no bucket cap can drop an earlier matching band's bucket.)
+        mask = (1 << width) - 1
+        slice_is_zero = F.array(*[
+            (
+                F.shiftrightunsigned(F.col("_xor"), width * j).bitwiseAND(F.lit(mask))
+                if width < SIMHASH_BITS
+                else F.col("_xor")
+            )
+            == 0
+            for j in range(n_bands)
+        ])
+        cand = cand.filter(
+            F.col("band_id") == F.array_position(slice_is_zero, True) - 1
+        )
+    else:
+        cand = cand.select("doc_a", "doc_b", "_xor").distinct()
+    return cand.select(
+        "doc_a", "doc_b", F.expr("bit_count(_xor)").cast("long").alias("hamming")
     )
 
 

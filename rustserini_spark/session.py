@@ -36,6 +36,33 @@ def local_rows_df(spark: SparkSession, rows, schema):
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def fan_out(df, target: int | None = None):
+    """Scale-adaptive scan fan-out: round-robin repartition a relation whose
+    partition count is below the session's parallelism, so the map-side work
+    that follows (tokenize/shingle explode, Arrow/BLAS kernels) uses every
+    core instead of one task per input file.
+
+    This is the single-row-group-parquet fix: the local fixtures are one
+    ~6 MB file with ONE row group, so `maxPartitionBytes` cannot split the
+    scan and every pre-shuffle pass otherwise runs serially (measured at
+    sf1.0/50k docs: the simhash signature pass, the cosine matmul and every
+    tokenize+explode ran 1-of-32 cores). At warehouse scale an input table
+    is thousands of files/row groups, the scan already has >= parallelism
+    partitions, and this is a no-op — the guard makes the behavior
+    scale-adaptive rather than a local-mode constant.
+
+    The repartition is keyless round-robin (deterministic under retry via
+    Spark's sort-before-repartition) and moves only the few MB a low-partition
+    relation can possibly hold — by definition the input is small, or it
+    would already have enough partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "rustserini_spark",
     master: str | None = None,
@@ -59,7 +86,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Local mode: the driver JVM IS the executor fleet, so its heap must
+        # cover every concurrent task's join/agg state. 16g left one driver
+        # bench rep dead on java.lang.OutOfMemoryError at sf1.0 (BENCH_r07
+        # sample 2); the host has 128 GiB, so size the heap like the
+        # executor memory a 32-core cluster node would get. Env-overridable
+        # for smaller hosts; cluster deployments set executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
