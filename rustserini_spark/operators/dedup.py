@@ -150,10 +150,16 @@ def minhash_lsh_pairs(
     read the fixed-width columnar table instead.
     """
     if sig is None:
-        # distinct=True: dedup shingles BEFORE the 16-lane min-agg — the
-        # shuffle-dedup also shrinks the agg input, and min over the multiset
-        # equals min over the set either way.
-        sig = minhash_signatures(doc_shingles(docs, text_col, id_col, distinct=True), n_hashes)
+        # Materialize the signature table even on the "inline" path: the band
+        # self-join consumes it on BOTH sides and Catalyst re-derives the
+        # whole shingle+min-agg subtree per side (plan-verified: two full
+        # corpus subtrees, zero ReusedExchange) — one pass + a fixed-width
+        # parquet barrier is strictly cheaper at every scale.
+        import tempfile
+
+        sig = build_minhash_table(
+            docs, tempfile.mkdtemp(prefix="minhash_sig_"), text_col, id_col, n_hashes
+        )
     return _banded_pairs(sig, n_hashes, n_bands, max_bucket)
 
 
@@ -170,8 +176,14 @@ def build_minhash_table(
     minhash_lsh_pairs). One corpus pass regardless of how many LSH calls
     consume it; the table is ~n_hashes*32 bytes per doc, tiny next to text."""
     spark = docs.sparkSession
+    # distinct=False: min over the shingle MULTISET equals min over the set
+    # (min is idempotent under duplicates), so the 16-lane partial agg runs
+    # map-side directly on the exploded relation and the only exchange is
+    # doc-count-sized lane partials — the old distinct=True path shuffled
+    # every (doc_id, shingle-string) row (~40 bytes x shingle count) just to
+    # dedup before an agg that never needed the dedup.
     minhash_signatures(
-        doc_shingles(docs, text_col, id_col, distinct=True), n_hashes
+        doc_shingles(docs, text_col, id_col, distinct=False), n_hashes
     ).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -314,8 +326,10 @@ def minhash_probe_pairs(
     sized corpora.
     """
     if new_sig is None:
+        # distinct=False: see build_minhash_table — the lane min-agg never
+        # needed the shingle dedup shuffle.
         new_sig = minhash_signatures(
-            doc_shingles(new_docs, text_col, id_col, distinct=True), n_hashes
+            doc_shingles(new_docs, text_col, id_col, distinct=False), n_hashes
         )
     new_bands = _band_explode(new_sig, n_hashes, n_bands)
     if base_bands is None:
@@ -368,7 +382,7 @@ def dedup_increment(
     pre-capped band table — zero base-side compute per snapshot).
     ``broadcast_new`` as in ``minhash_probe_pairs``."""
     new_sig = minhash_signatures(
-        doc_shingles(new_docs, text_col, id_col, distinct=True), n_hashes
+        doc_shingles(new_docs, text_col, id_col, distinct=False), n_hashes
     )
     hits = minhash_probe_pairs(
         new_docs, base_sig, text_col, id_col, n_hashes, n_bands, max_bucket,
@@ -409,16 +423,29 @@ def ngram_jaccard_pairs(
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
-    # sizes from the exploded relation: the groupBy rides the SAME exchange
-    # the join side produces (ReusedExchange) — a map-only array_distinct
-    # variant was measured slower (duplicated un-reusable tokenize subtree)
+    # materialize the (doc_id, shingle-hash) set relation ONCE: it is
+    # consumed by five subtrees (both self-join sides, the df counts, and
+    # the two size joins), and Catalyst re-derives the full tokenize +
+    # explode + distinct pass per consumer — the pre-materialization plan
+    # showed SIX copies of the corpus-shingling subtree and no exchange
+    # reuse. One pass + a fixed-width 16-byte-per-row parquet barrier
+    # replaces all of them (same build-once policy as the minhash signature
+    # table).
+    import tempfile
+
+    _p = tempfile.mkdtemp(prefix="jaccard_sh_")
+    sh.write.mode("overwrite").parquet(_p)
+    sh = docs.sparkSession.read.parquet(_p)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    join_sh = sh
+    # df >= 2 prefilter on the JOIN side (always, cap or not): a shingle in
+    # exactly one doc cannot produce a pair, so dropping it is result-exact
+    # — and on low-dup corpora it removes the bulk of the self-join's
+    # sort/shuffle input.
+    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    df_keep = F.col("_df") >= 2
     if max_shingle_df is not None:
-        sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        join_sh = sh.join(
-            sh_df.filter(F.col("_df") <= max_shingle_df).drop("_df"), "shingle"
-        )
+        df_keep = df_keep & (F.col("_df") <= max_shingle_df)
+    join_sh = sh.join(sh_df.filter(df_keep).drop("_df"), "shingle")
     a, b = join_sh.alias("a"), join_sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -548,30 +575,52 @@ def minhash_verified_pairs(
     # s=10k shingles) — the op's error is still dominated by LSH candidate
     # recall, and the sf0.01/200k outputs are verified identical to the
     # string-keyed verify.
+    if threshold <= 0:
+        raise ValueError(
+            "minhash_verified_pairs requires threshold > 0: the verify only "
+            "computes intersections for pairs sharing >= 1 shingle, and a "
+            "zero-overlap candidate pair has jaccard 0 by definition"
+        )
     sh = (
         doc_shingles(docs_c, text_col, id_col, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
-    # fused verify: pair -> its two doc ids -> one keyed join against the
-    # candidate-only shingles -> (pair, shingle) agg counting sides -> pair
-    # agg: union = distinct shingles across both docs, inter = shingles seen
-    # from both sides (sh is a set relation, so _sides is exactly 1 or 2)
-    pair_docs = cand.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    per_shingle = (
-        pair_docs.join(sh, "doc_id")
-        .groupBy("doc_a", "doc_b", "shingle")
-        .agg(F.count(F.lit(1)).alias("_sides"))
-    )
+    # set-array verify: the candidate-doc shingle SETS aggregate to one
+    # array row per doc (~8 bytes x shingles-per-doc), a relation bounded by
+    # the candidate-doc count — attach it to both pair sides and compute
+    # |a n b| with array_intersect in codegen. The candidate-pair relation
+    # is never shuffled (both attach joins broadcast under AQE while the
+    # array relation fits, degrading to keyed joins when a pathological
+    # candidate set makes it large), and per-pair cost is O(|a| + |b|).
+    # Result-identical to the exploded-relation verifies for threshold > 0
+    # (a pair whose doc has zero shingles scores jaccard 0 both ways).
+    # Why not the inverted-index verify ngram_jaccard_pairs uses: its cost
+    # is O(sum df^2) over the candidate docs' shared shingles, which is
+    # unbounded by the candidate count — measured at sf1.0 (tiny synthetic
+    # vocabulary, every shingle shared ~90 ways) it emits 127M co-occurrence
+    # rows to verify 544k candidates, while this pass touches
+    # O(candidates x shingles-per-doc) ~ 50M array cells with no shuffle.
+    # (The round-6 "array-payload variant 3x slower" measurement joined
+    # EXPLODED shingle rows against wide arrays; aggregating to one array
+    # row per doc first is what makes the attach joins broadcast-sized.)
+    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_sh"))
+    arrs_path = tempfile.mkdtemp(prefix="minhash_varr_")
+    arrs.write.mode("overwrite").parquet(arrs_path)
+    arrs = docs.sparkSession.read.parquet(arrs_path)
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sh_b"))
     return (
-        per_shingle.groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("_union"),
-            F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).alias("_inter"),
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        .withColumn(
+            "jaccard",
+            r4(
+                F.col("_inter")
+                / (F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - F.col("_inter"))
+            ),
         )
-        .withColumn("jaccard", r4(F.col("_inter") / F.col("_union")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -850,11 +899,16 @@ def simhash_neardup_pairs(
     if n_bands <= max_hamming:
         raise ValueError("need n_bands > max_hamming for pigeonhole completeness")
     if sig is None:
-        # inline path: each self-join branch recomputes the signature map pass
-        # (map-side only, no shuffle) — fine for one-shot small runs, but 2-3
-        # full corpus passes at web scale; pass ``sig`` from
-        # build_simhash_table so both branches scan the materialized table.
-        sig = simhash64_signatures(docs, text_col, id_col)
+        # Materialize the signature table even on the inline path: the band
+        # self-join consumes it on both sides and Catalyst re-derives the
+        # Arrow signature pass per side (plan-verified: two MapInPandas
+        # nodes, zero reuse) — one corpus pass + a 16-byte-per-doc parquet
+        # barrier is strictly cheaper at every scale.
+        import tempfile
+
+        sig = build_simhash_table(
+            docs, tempfile.mkdtemp(prefix="simhash_sig_"), text_col, id_col
+        )
     sig = sig.select("doc_id", "simhash", *simhash_bands(F.col("simhash"), n_bands))
     bands = sig.select(
         "doc_id",
