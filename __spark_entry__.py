@@ -730,7 +730,7 @@ def q_training_mix(spark, sf_dir):
     filter (no shuffle, no RNG state)."""
     import tempfile
 
-    docs = with_tokens(_docs(spark, sf_dir).select("doc_id", "text"))
+    docs = with_tokens(fan_out(_docs(spark, sf_dir).select("doc_id", "text")))
     feat = docs.select("doc_id", lang_id_col("toks").alias("lang_pred"))
     # materialize the (doc_id, lang_pred) relation before the sample filter:
     # the filter references lang_pred twice (md5 salt concat + rate lookup),
@@ -1091,18 +1091,21 @@ WHERE rank <= {k}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: the fixtures are ONE single-row-group parquet file, so without
-    # it every pre-shuffle map pass (tokenize/shingle/signature kernels) runs
-    # as one task; a real many-file table skips the repartition (see fan_out).
-    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # NOT fanned out here: fan_out lives inside the operators with heavy
+    # pre-shuffle map passes (signature kernels, shingle explodes, BLAS) —
+    # a blanket repartition at the reader taxed every cheap map-only /
+    # count-pruned entry with a shuffle it never needed (measured: the
+    # sub-second entries ran 0.5-2x slower with it, the heavy ones are
+    # covered inside the ops).
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 _EMB_DIM_MEMO: dict[str, int] = {}
@@ -1802,11 +1805,15 @@ def q_canonical_urls(spark, sf_dir):
 
 
 def q_url_dedup_latest(spark, sf_dir):
-    return url_dedup_latest(_webtext_urls_df(spark, sf_dir))
+    # fan_out here, not in the reader: these two aggregate over the
+    # canonicalization regex chain (map-heavy, single-file fixture), while
+    # q_canonical_urls is a count-prunable projection for which the
+    # repartition is pure overhead
+    return url_dedup_latest(fan_out(_webtext_urls_df(spark, sf_dir)))
 
 
 def q_host_stats(spark, sf_dir):
-    return host_stats(_webtext_urls_df(spark, sf_dir))
+    return host_stats(fan_out(_webtext_urls_df(spark, sf_dir)))
 
 
 def _canon_cte(path: str) -> str:

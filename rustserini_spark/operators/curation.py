@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from rustserini_spark.functions.parity import r4
+from rustserini_spark.session import fan_out
 from rustserini_spark.functions.text import (
     _STOP_SORTED,
     _count_in,
@@ -72,7 +73,7 @@ def curate_corpus(
     # SimHash stage at the end carries ids as int64 and a string id would
     # silently become NULL there (see require_integral_id)
     require_integral_id(docs, id_col, "curate_corpus")
-    feat = with_tokens(docs.select(id_col, text_col), text_col).select(
+    feat = with_tokens(fan_out(docs.select(id_col, text_col)), text_col).select(
         F.col(id_col),
         F.col(text_col),
         lang_id_col("toks").alias("lang_pred"),
@@ -143,7 +144,7 @@ def ngram_contaminated_ids(
     consumed by a map-side broadcast semi-join — the corpus is never
     shuffled. Only MATCHED doc ids (bounded by the corpus's contamination
     rate, typically <<1%) reach the distinct's exchange."""
-    doc_sh = with_tokens(docs.select(id_col, text_col), text_col).select(
+    doc_sh = with_tokens(fan_out(docs.select(id_col, text_col)), text_col).select(
         id_col, F.explode(token_shingles(F.col("toks"), n)).alias("shingle")
     )
     bench_sh = (
@@ -338,7 +339,7 @@ def source_stats(
     DuckDB oracle. One groupBy(source) with map-side combine; countDistinct
     adds the only extra exchange, keyed on (source, md5) — fixed-width
     regardless of document size."""
-    feat = with_tokens(docs.select(source_col, text_col), text_col).select(
+    feat = with_tokens(fan_out(docs.select(source_col, text_col)), text_col).select(
         source_col,
         F.md5(F.col(text_col)).alias("_h"),
         F.size("toks").cast("long").alias("_nt"),
@@ -442,7 +443,7 @@ def unigram_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     CommonCrawl by LM perplexity; a count LM over a trusted corpus is the
     shuffle-shaped core of that signal). One groupBy(term) shuffle with
     map-side combine; materialize to parquet for train-once/score-many."""
-    toks = with_tokens(docs.select(id_col, text_col), text_col)
+    toks = with_tokens(fan_out(docs.select(id_col, text_col)), text_col)
     return (
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
@@ -491,7 +492,7 @@ def lm_perplexity_scores(
     stats = lm.agg(
         F.sum("cnt").cast("double").alias("_n"), F.count(F.lit(1)).cast("double").alias("_v")
     )
-    toks = with_tokens(docs.select(id_col, text_col), text_col)
+    toks = with_tokens(fan_out(docs.select(id_col, text_col)), text_col)
     tokens = toks.select(F.col(id_col).alias("doc_id"), F.explode("toks").alias("term"))
     lm_side = F.broadcast(lm) if broadcast_lm else lm
     joined = (

@@ -95,7 +95,12 @@ def doc_shingles(
     ``distinct=False`` skips a whole shuffle for consumers where multiset vs
     set makes no difference (minhash: min over duplicates == min over set).
     """
-    toks = with_tokens(docs, text_col)
+    from rustserini_spark.session import fan_out
+
+    # fan_out: tokenize+explode is the heavy pre-shuffle map pass of every
+    # shingle consumer; a single-file input would otherwise run it 1-task
+    # (no-op for many-partition inputs — see session.fan_out)
+    toks = with_tokens(fan_out(docs.select(F.col(id_col), F.col(text_col))), text_col)
     out = toks.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles_col("toks", n)).alias("shingle")
     )
@@ -323,8 +328,29 @@ def minhash_probe_pairs(
     shuffle join materializes the full base band relation across the wire
     per probe. Use whenever the snapshot is small relative to base (the
     incremental-crawl invariant); leave False when probing two comparably
-    sized corpora.
+    sized corpora. Hard-failure mode to size for: Spark caps a broadcast
+    relation at 8 GB / 512M rows and the collect lands on the driver, so an
+    oversized snapshot fails the job (or OOMs the driver) rather than
+    degrading — at ~28 bytes per band row (doc_id + band_id + band_hash,
+    pre-serialization) that is roughly 8 bands x ~35M snapshot docs; size
+    driver memory accordingly or leave the pin off and take the shuffle.
     """
+    if base_bands is not None:
+        # fail fast on a band table persisted under the pre-BIGINT key
+        # format: joining a StringType band_hash against the LongType new
+        # side would implicit-cast to NULLs and silently return ZERO pairs
+        # (dedup_increment would then keep every duplicate).
+        from pyspark.sql.types import LongType
+
+        bh_type = base_bands.schema["band_hash"].dataType
+        if not isinstance(bh_type, LongType):
+            raise TypeError(
+                "minhash_probe_pairs: base_bands.band_hash must be BIGINT "
+                f"(got {bh_type.simpleString()}); rebuild the band table "
+                "with build_minhash_band_table under the 60-bit BIGINT key "
+                "format — a string-keyed table joins as NULL and the probe "
+                "silently reports no collisions"
+            )
     if new_sig is None:
         # distinct=False: see build_minhash_table — the lane min-agg never
         # needed the shingle dedup shuffle.
@@ -492,24 +518,25 @@ def minhash_verified_pairs(
     J >= threshold pairs at the default 16x8 banding, where a J=0.8 pair
     misses all 8 bands with probability (1-0.64)^8 ~ 3e-4).
 
-    Plan shape at scale: banded candidate join (bounded buckets) -> SEMI-JOIN
-    REDUCTION AT THE DOCS LEVEL (candidate ids AQE-broadcast against the raw
-    docs BEFORE tokenization, so the verify tokenizes/shingles/dedups ONLY
-    candidate docs — round 6 semi-joined the already-shingled corpus
-    relation, which still paid the full-corpus tokenize + distinct shuffle)
-    -> FUSED single-aggregation verify: each candidate pair explodes to its
-    two doc ids, joins the candidate-only shingle relation once, and ONE
-    two-level aggregation computes union (distinct shingles across the pair)
-    and intersection (shingles seen from both sides) — jaccard =
-    inter/union with no separate size relation and no per-side join
-    branches. Measured vs the round-6 chain (cand x a_sh x b_sh + sizes +
-    two size joins) at 200k docs: 75.3s -> 38.3s at 1x4 and 20.9s -> 13.5s
-    at 4x4 (identical 26,486 output rows) BEFORE the docs-level semi-join
-    was added on top. Every join is keyed; nothing is all-pairs. (An
-    array-payload variant — shingle-set arrays joined to candidates +
-    array_intersect — was measured 3x SLOWER at bench scale: broadcasting/
-    joining wide array rows costs more than the lean exploded-relation
-    shuffles it saves.)
+    Plan shape at scale: banded candidate join (bounded buckets), candidates
+    materialized once -> SEMI-JOIN REDUCTION AT THE DOCS LEVEL (candidate
+    ids AQE-broadcast against the raw docs BEFORE tokenization, so the
+    verify tokenizes/shingles/dedups ONLY candidate docs — round 6
+    semi-joined the already-shingled corpus relation, which still paid the
+    full-corpus tokenize + distinct shuffle) -> SET-ARRAY verify: the
+    candidate-doc shingle sets aggregate to ONE array row per doc, the
+    array relation is attached to both pair sides (broadcast under AQE
+    while it fits, keyed join otherwise) and `array_intersect` computes
+    |a n b| in codegen — the candidate-pair relation is never shuffled and
+    per-pair cost is O(|a| + |b|). This replaced the round-7 pair-explode
+    form (each pair exploded to its doc ids, joined the exploded shingle
+    relation, two shuffle aggregations): at sf1.0 the 2-lane bands
+    chance-collide into 544k candidates and the explode pushed ~49M
+    (pair, shingle) rows through both aggs — 29s -> 4s measured, identical
+    output. Every join is keyed; nothing is all-pairs. (The round-6 note
+    that "an array-payload variant was 3x slower" measured arrays joined
+    against EXPLODED shingle rows; aggregating to one array row per doc
+    first is what makes the attach joins broadcast-sized.)
 
     Mirrors the reference's near-dup intent (candidate generation delegated
     to an index, exact scoring on the candidate set —
@@ -822,7 +849,9 @@ def simhash64_signatures(
                 out_fp[i] = (bits * _POW2).sum().astype(np.uint64).view(np.int64)
             yield pd.DataFrame({"doc_id": ids.astype(np.int64), "simhash": out_fp})
 
-    pairs = docs.select(F.col(id_col).cast("long"), F.col(text_col))
+    from rustserini_spark.session import fan_out
+
+    pairs = fan_out(docs.select(F.col(id_col).cast("long"), F.col(text_col)))
     return pairs.mapInPandas(gen, "doc_id long, simhash long")
 
 

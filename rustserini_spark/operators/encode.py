@@ -105,10 +105,12 @@ def encode_documents(
     a GPU-backed encoder parallelizes over executors). Sanitize is applied to
     both id and text exactly like the reference's encode loop
     (faiss_embedding_writer.rs:106-107)."""
+    from rustserini_spark.session import fan_out
+
     cols = [F.col(id_col).cast("string").alias("vec_id"), F.col(text_col).alias("_text")]
     if title_col:
         cols.append(F.col(title_col).alias("_title"))
-    src = docs.select(*cols)
+    src = fan_out(docs.select(*cols))
 
     def gen(batches):
         for pdf in batches:
@@ -173,10 +175,12 @@ def encode_topk(
     out = metric
     schema = f"qid long, vec_id long, {out} double"
 
+    from rustserini_spark.session import fan_out
+
     cols = [F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")]
     if title_col:
         cols.append(F.col(title_col).alias("_title"))
-    src = docs.select(*cols)
+    src = fan_out(docs.select(*cols))
 
     def gen(batches):
         for pdf in batches:

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rustserini_spark.functions.parity import r4
-from rustserini_spark.session import local_rows_df
+from rustserini_spark.session import fan_out, local_rows_df
 
 
 def _r4_np(x: np.ndarray) -> np.ndarray:
@@ -65,12 +65,15 @@ def _norm(a):
 
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     """Driver-side query matrix (the query set is small by contract — it is
-    broadcast either way; FAISS holds it in RAM too)."""
-    rows = queries.select(id_col, vec_col).collect()
-    if not rows:
+    broadcast either way; FAISS holds it in RAM too). toPandas, not
+    collect(): the Arrow transfer is an order of magnitude faster than
+    pickled Rows for array columns, and cosine_neardup_pairs routes its
+    (bounded, but tens-of-thousands-row) corpus matrix through here too."""
+    pdf = queries.select(id_col, vec_col).toPandas()
+    if pdf.empty:
         return np.empty(0, dtype=np.int64), np.empty((0, 0))
-    qids = np.array([int(r[0]) for r in rows], dtype=np.int64)
-    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qids = pdf[id_col].to_numpy().astype(np.int64)
+    qmat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return qids, qmat
 
 
@@ -210,7 +213,7 @@ def cosine_neardup_pairs(corpus: DataFrame, threshold: float = 0.95, id_col: str
                 {"vec_a": a_ids[ai], "vec_b": ids[bj], "cos": cos[ai, bj]}
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         gen, "vec_a long, vec_b long, cos double"
     )
 
@@ -615,7 +618,7 @@ def lsh_neardup_pairs(
                 }
             )
 
-    tagged = corpus.select(id_col, vec_col).mapInPandas(
+    tagged = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         sig_with_vec, f"bucket long, vec_id long, _vec {corpus.schema[vec_col].dataType.simpleString()}"
     )
 

@@ -51,11 +51,13 @@ def test_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, atol=1e-9, rtol=0)
 
 
-@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0 and len(df.columns) > 0
+def test_no_rows_only_queries_remain():
+    """Every declared query has a full value oracle (round-7 closed the last
+    three no-oracle entries); this pins that invariant instead of carrying a
+    perpetually-skipped empty parametrization."""
+    assert set(ALL_QUERIES) == set(ORACLES), sorted(
+        set(ALL_QUERIES) ^ set(ORACLES)
+    )
 
 
 def test_entry_smoke(spark):

@@ -76,6 +76,23 @@ def test_band_table_probe_matches_sig_table_probe(spark, base_docs, base_sig, ne
         for r in minhash_probe_pairs(new_docs, base_sig).collect()
     )
     assert via_bands == via_sig and via_bands
+    # the broadcast-pinned plan (the documented 100-TB deployment shape)
+    # must return the identical pair set
+    via_bcast = sorted(
+        (r.new_id, r.base_id)
+        for r in minhash_probe_pairs(
+            new_docs, base_bands=bands, broadcast_new=True
+        ).collect()
+    )
+    assert via_bcast == via_sig
+    # a band table persisted under the pre-BIGINT string key format must
+    # fail fast, not silently join to zero pairs through an implicit cast
+    import pyspark.sql.functions as F
+    import pytest
+
+    stale = bands.withColumn("band_hash", F.col("band_hash").cast("string"))
+    with pytest.raises(TypeError, match="band_hash must be BIGINT"):
+        minhash_probe_pairs(new_docs, base_bands=stale)
     # capped band table drops hot buckets at build time
     viral = build_minhash_band_table(
         spark.createDataFrame(
