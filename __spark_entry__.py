@@ -1542,7 +1542,15 @@ def q_lsh_neardup_recall(spark, sf_dir):
     constant-TRUE."""
     from rustserini_spark.operators.similarity import cosine_neardup_pairs
 
+    import tempfile
+
+    # materialize the planted union once: it is derived three times below
+    # (the LSH bucket pass, the exact verify's driver-side matrix collect,
+    # and the exact verify's distributed map pass)
     emb = _emb_with_planted(spark, sf_dir)
+    _p = tempfile.mkdtemp(prefix="emb_planted_")
+    emb.write.mode("overwrite").parquet(_p)
+    emb = spark.read.parquet(_p)
     approx = lsh_neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.95, n_planes=8)
     exact = cosine_neardup_pairs(emb, threshold=0.95)
     gate = float(LSH_NEARDUP_RECALL_GATE)

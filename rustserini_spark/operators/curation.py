@@ -104,6 +104,13 @@ def curate_corpus(
     kept = kept.withColumn("_text_hash", F.md5(F.col(text_col)))
     exact_keepers = kept.groupBy("_text_hash").agg(F.min(id_col).alias(id_col))
     kept = kept.join(exact_keepers, ["_text_hash", id_col], "left_semi")
+    # second barrier: the exact-dedup survivors feed three more consumers
+    # (the SimHash signature pass, the final keeper semi-join, the output
+    # projection) — without it each re-runs the md5 agg + semi-join chain
+    # (measured ~2x the remaining wall at sf1.0)
+    _p2 = tempfile.mkdtemp(prefix="curate_exact_")
+    kept.write.mode("overwrite").parquet(_p2)
+    kept = docs.sparkSession.read.parquet(_p2)
 
     # near-dup dedup: identical-SimHash keeper over the exact-dedup survivors
     sh = simhash64_signatures(kept, text_col, id_col)
@@ -443,7 +450,7 @@ def unigram_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     CommonCrawl by LM perplexity; a count LM over a trusted corpus is the
     shuffle-shaped core of that signal). One groupBy(term) shuffle with
     map-side combine; materialize to parquet for train-once/score-many."""
-    toks = with_tokens(fan_out(docs.select(id_col, text_col)), text_col)
+    toks = with_tokens(docs.select(id_col, text_col), text_col)
     return (
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
@@ -492,7 +499,7 @@ def lm_perplexity_scores(
     stats = lm.agg(
         F.sum("cnt").cast("double").alias("_n"), F.count(F.lit(1)).cast("double").alias("_v")
     )
-    toks = with_tokens(fan_out(docs.select(id_col, text_col)), text_col)
+    toks = with_tokens(docs.select(id_col, text_col), text_col)
     tokens = toks.select(F.col(id_col).alias("doc_id"), F.explode("toks").alias("term"))
     lm_side = F.broadcast(lm) if broadcast_lm else lm
     joined = (
