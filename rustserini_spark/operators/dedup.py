@@ -484,19 +484,47 @@ def ngram_jaccard_pairs(
     df_keep = F.col("_df") >= 2
     if max_shingle_df is not None:
         df_keep = df_keep & (F.col("_df") <= max_shingle_df)
-    join_sh = sh.join(sh_df.filter(df_keep).drop("_df"), "shingle")
-    a, b = join_sh.alias("a"), join_sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # carry each doc's EXACT set size on the join rows (sizes computed from
+    # the unfiltered set relation, so the df cap never perturbs them): it
+    # feeds the size-compatibility prune below AND replaces the two
+    # post-aggregation size joins the previous shape paid.
+    join_sh = sh.join(sh_df.filter(df_keep).drop("_df"), "shingle").join(
+        sizes, "doc_id"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a, b = join_sh.alias("a"), join_sh.alias("b")
+    # size-compatibility prune INSIDE the join predicate (exact):
+    # J(a,b) = |anb| / |aub| <= min(n_a, n_b) / max(n_a, n_b), so any pair
+    # whose set sizes differ by more than the threshold ratio can never
+    # reach it — dropped before the (doc_a, doc_b) aggregation ever sees
+    # its co-occurrence rows. At t=0.8 on uniform 8-97-shingle docs this
+    # prunes ~3/4 of the join output (the lower-bound jaccard of the
+    # capped variant only shrinks, so the prune is exact there too).
+    # slack term: the FINAL filter compares the r4-ROUNDED jaccard, which
+    # can round a value up by <= 5e-5 — so prune against (t - 1e-4) minus
+    # one whole shingle of headroom, which dominates the rounding for any
+    # realistic set size; the prune then can never drop a pair the rounded
+    # filter would keep.
+    thr = float(threshold) - 1e-4
+    compat = (
+        (F.col("a.n_sh") >= thr * F.col("b.n_sh") - 1)
+        & (F.col("b.n_sh") >= thr * F.col("a.n_sh") - 1)
+    )
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & compat,
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             r4(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))),
         )
