@@ -451,65 +451,127 @@ def ngram_jaccard_pairs(
     many rare shingles and still pair up. Default None = exact.
     """
     # shingles hashed to 64-bit ints MAP-SIDE, before the set-dedup shuffle:
-    # the distinct, the inverted self-join and the (doc_a, doc_b) pair agg
-    # then all carry an 8-byte long instead of an n-token string (~20-40
-    # bytes on web text) — the same key-narrowing minhash_verified_pairs
-    # ships (see its docstring for the collision analysis: jaccard over
-    # hashed sets equals jaccard over raw sets unless two distinct shingles
-    # of one candidate pair collide in 64 bits, ~1e-11 per doc).
-    sh = (
-        doc_shingles(docs, text_col, id_col, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
+    # every downstream shuffle/array then carries an 8-byte long instead of
+    # an n-token string (~20-40 bytes on web text) — the same key-narrowing
+    # minhash_verified_pairs ships (see its docstring for the collision
+    # analysis: jaccard over hashed sets equals jaccard over raw sets unless
+    # two distinct shingles of one candidate pair collide in 64 bits,
+    # ~1e-11 per doc).
+    occ = doc_shingles(docs, text_col, id_col, distinct=False).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
-    # materialize the (doc_id, shingle-hash) set relation ONCE: it is
-    # consumed by five subtrees (both self-join sides, the df counts, and
-    # the two size joins), and Catalyst re-derives the full tokenize +
-    # explode + distinct pass per consumer — the pre-materialization plan
-    # showed SIX copies of the corpus-shingling subtree and no exchange
-    # reuse. One pass + a fixed-width 16-byte-per-row parquet barrier
-    # replaces all of them (same build-once policy as the minhash signature
-    # table).
+    if max_shingle_df is None:
+        # ONE exchange builds the whole per-doc relation: collect_set dedups
+        # the multiset inside the aggregation (no separate distinct shuffle),
+        # and after the operators' fan_out every doc's shingles sit in one
+        # partition, so the map-side partial aggregation ships ~one complete
+        # set per doc. df-1 shingles stay in the arrays — they can never be
+        # common to two docs, so they change no intersection count and cost
+        # only dead probe rows in the candidate join.
+        docs_rel = (
+            occ.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("_arr"))
+            .withColumn("n_sh", F.size("_arr"))
+        )
+    else:
+        # the df cap is semantic (declared lower-bound jaccard: n_common
+        # counts only shingles with df <= cap), so the capped variant needs
+        # per-shingle df before the final arrays can be assembled. Build the
+        # FULL per-doc sets first (same single collect_set exchange as the
+        # uncapped path), barrier them, then derive df by re-exploding the
+        # doc-count-sized barrier (no second tokenize pass, no full-width
+        # occurrence sort — measured ~30% cheaper than a df window over the
+        # deduped occurrence relation at 50k docs, and the gap grows with
+        # corpus size). df >= 2 composes as a result-exact extra drop (a
+        # df-1 shingle cannot be shared). Set sizes stay EXACT (size of the
+        # unfiltered set, carried through the rebuild) per the declared
+        # semantics. Docs whose every shingle is capped away drop out of
+        # the relation entirely — result-exact, since an empty array can
+        # produce neither a prefix row nor a nonzero n_common.
+        import tempfile
+
+        full = (
+            occ.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("_af"))
+            .withColumn("n_sh", F.size("_af"))
+        )
+        _p0 = tempfile.mkdtemp(prefix="jaccard_full_")
+        full.write.mode("overwrite").parquet(_p0)
+        full = docs.sparkSession.read.parquet(_p0)
+        ex = full.select("doc_id", "n_sh", F.explode("_af").alias("shingle"))
+        keep = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df))
+            .select("shingle")
+        )
+        docs_rel = (
+            ex.join(keep, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.max("n_sh").alias("n_sh"),
+                F.sort_array(F.collect_list("shingle")).alias("_arr"),
+            )
+        )
+    # materialize the doc-count-sized (doc_id, n_sh, sorted-array) relation
+    # ONCE: it is consumed three times (prefix explode + both verify sides)
+    # and Catalyst would otherwise re-derive the tokenize+agg subtree per
+    # consumer. Strictly smaller than an occurrence-level barrier (one row
+    # per doc vs one per (doc, shingle)).
     import tempfile
 
-    _p = tempfile.mkdtemp(prefix="jaccard_sh_")
-    sh.write.mode("overwrite").parquet(_p)
-    sh = docs.sparkSession.read.parquet(_p)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # df >= 2 prefilter on the JOIN side (always, cap or not): a shingle in
-    # exactly one doc cannot produce a pair, so dropping it is result-exact
-    # — and on low-dup corpora it removes the bulk of the self-join's
-    # sort/shuffle input.
-    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    df_keep = F.col("_df") >= 2
-    if max_shingle_df is not None:
-        df_keep = df_keep & (F.col("_df") <= max_shingle_df)
-    # carry each doc's EXACT set size on the join rows (sizes computed from
-    # the unfiltered set relation, so the df cap never perturbs them): it
-    # feeds the size-compatibility prune below AND replaces the two
-    # post-aggregation size joins the previous shape paid.
-    join_sh = sh.join(sh_df.filter(df_keep).drop("_df"), "shingle").join(
-        sizes, "doc_id"
-    )
-    a, b = join_sh.alias("a"), join_sh.alias("b")
-    # size-compatibility prune INSIDE the join predicate (exact):
-    # J(a,b) = |anb| / |aub| <= min(n_a, n_b) / max(n_a, n_b), so any pair
-    # whose set sizes differ by more than the threshold ratio can never
-    # reach it — dropped before the (doc_a, doc_b) aggregation ever sees
-    # its co-occurrence rows. At t=0.8 on uniform 8-97-shingle docs this
-    # prunes ~3/4 of the join output (the lower-bound jaccard of the
-    # capped variant only shrinks, so the prune is exact there too).
-    # slack term: the FINAL filter compares the r4-ROUNDED jaccard, which
-    # can round a value up by <= 5e-5 — so prune against (t - 1e-4) minus
-    # one whole shingle of headroom, which dominates the rounding for any
-    # realistic set size; the prune then can never drop a pair the rounded
-    # filter would keep.
+    _p = tempfile.mkdtemp(prefix="jaccard_docs_")
+    docs_rel.write.mode("overwrite").parquet(_p)
+    docs_rel = docs.sparkSession.read.parquet(_p)
+
+    # AllPairs/PPJoin prefix filtering, strengthened to a 2-share guarantee
+    # (exact): a pair can only reach the final filter if round4(J) >= t,
+    # i.e. J >= t - 5e-5 > t2 := t - 1e-4. J >= t2 implies c >= t2 * n_sh
+    # for EACH side (c >= t2*(n_a + n_b - c) and n_b >= c give c >= t2*n_a).
+    # With every set sorted by one global order and per-side prefix length
+    # |arr| - α_s + k, any pair whose (filtered) intersection is >= α shares
+    # at least k elements inside BOTH prefixes [Bayardo et al. 2007; Xiao et
+    # al. 2008, generalized: if the joint prefix share were <= k-1, all
+    # remaining common elements sit in one side's length-(α_s - k) suffix,
+    # bounding c <= α_s - 1 < c]. So the inverted self-join runs on array
+    # PREFIXES only (~(1-t) of the rows, ~(1-t)² of the quadratic join
+    # output — measured at 50k docs: 127M co-occurrence rows -> ~11M) and
+    # the pair aggregation keeps only pairs with >= g joint prefix shares,
+    # where g = min over sides of (k if α_s >= k else max(α_s, 1)) — the
+    # k-share guarantee degrades per side when a (filtered) set is so small
+    # that its suffix would be negative (then its whole array IS the prefix
+    # and the joint share equals c itself, >= max(α_s, 1)). With k=2 the
+    # measured candidate set fell 9.6M -> 269k at 50k docs.
+    # α = floor(t2 * n_sh) (floor, not ceil: one element of extra prefix
+    # headroom absorbs any double-rounding of t2*n_sh, so the prefix can
+    # only be longer than the theorem needs, never shorter).
     thr = float(threshold) - 1e-4
+    _k = 2
+    alpha = F.floor(F.lit(thr) * F.col("n_sh")).cast("int")
+    prefix_len = F.greatest(F.size("_arr") - alpha + F.lit(_k), F.lit(0))
+    pref = docs_rel.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("_arr", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # size-compatibility prune INSIDE the candidate join (exact, same slack
+    # arithmetic as above: J <= min/max of the set sizes, checked against t2
+    # with one whole shingle of headroom for the r4 rounding).
     compat = (
         (F.col("a.n_sh") >= thr * F.col("b.n_sh") - 1)
         & (F.col("b.n_sh") >= thr * F.col("a.n_sh") - 1)
     )
-    common = (
+    g_pair = F.least(
+        F.lit(_k),
+        F.greatest(
+            F.least(
+                F.floor(F.lit(thr) * F.col("n_a")), F.floor(F.lit(thr) * F.col("n_b"))
+            ).cast("int"),
+            F.lit(1),
+        ),
+    )
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -518,13 +580,36 @@ def ngram_jaccard_pairs(
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
-            F.count(F.lit(1)).alias("n_common"),
+            F.count(F.lit(1)).alias("_n_pref"),
             F.max(F.col("a.n_sh")).alias("n_a"),
             F.max(F.col("b.n_sh")).alias("n_b"),
         )
+        .filter(F.col("_n_pref") >= g_pair)
+        .select("doc_a", "doc_b")
+    )
+    # exact verify entirely in codegen: re-attach both docs' full filtered
+    # arrays (planner-governed joins — the doc-count-sized array relation
+    # broadcasts while it fits, degrades to keyed shuffle joins at scale)
+    # and count the intersection. For the capped variant this reproduces
+    # the declared lower-bound n_common exactly: the arrays hold precisely
+    # the df-in-[2, cap] shingles, and a df-1 shingle can never be shared.
+    arr_a = docs_rel.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("_arr").alias("_arr_a"),
+    )
+    arr_b = docs_rel.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("_arr").alias("_arr_b"),
+    )
+    verified = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_arr_a", "_arr_b")))
     )
     return (
-        common.withColumn(
+        verified.withColumn(
             "jaccard",
             r4(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))),
         )
