@@ -728,19 +728,14 @@ def q_training_mix(spark, sf_dir):
     fr 0.25, everything else dropped): keep iff md5(salt:lang:id)[:8]/2^32 <
     rate — engine-portable bit-for-bit, resampling-stable, one map-side
     filter (no shuffle, no RNG state)."""
-    import tempfile
-
     docs = with_tokens(fan_out(_docs(spark, sf_dir).select("doc_id", "text")))
     feat = docs.select("doc_id", lang_id_col("toks").alias("lang_pred"))
-    # materialize the (doc_id, lang_pred) relation before the sample filter:
-    # the filter references lang_pred twice (md5 salt concat + rate lookup),
-    # and Catalyst's filter pushdown substitutes the FULL tokenize+lang CASE
-    # tree per reference — measured at sf1.0 the pushed filter re-tokenized
-    # every row ~12x on the pre-fan-out single-partition scan (5.1s for a
-    # 0.7s map pass). The 2-column parquet barrier computes lang_pred once.
-    path = tempfile.mkdtemp(prefix="mix_feat_")
-    feat.write.mode("overwrite").parquet(path)
-    feat = spark.read.parquet(path)
+    # the sample filter references lang_pred twice (md5 salt concat + rate
+    # lookup) and Catalyst's pushdown would substitute the FULL tokenize+lang
+    # CASE tree per reference — training_mix_sample now pins its predicate
+    # above the projection (session.filter_unpushed), so lang_pred is
+    # computed exactly once and the round-8 parquet barrier this entry
+    # carried is no longer needed (one job instead of two).
     return training_mix_sample(feat, MIX_RATES, salt=MIX_SALT).select(
         "doc_id", "lang_pred"
     )

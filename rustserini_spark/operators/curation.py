@@ -79,21 +79,26 @@ def curate_corpus(
         lang_id_col("toks").alias("lang_pred"),
         *quality_features(text_col, "toks"),
     )
-    kept = feat.filter(
+    # filter_unpushed: the quality filter references four computed columns,
+    # and Catalyst's pushdown would substitute the full tokenize+feature
+    # tree per reference below the projection — the pushed form re-tokenized
+    # every row ~5x (measured 5.1s vs 1.1s for this stage at 50k docs).
+    from rustserini_spark.session import filter_unpushed
+
+    kept = filter_unpushed(
+        feat,
         F.col("lang_pred").isin(list(langs))
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio),
     )
-    # materialize the survivors ONCE: (a) the quality filter references four
-    # computed columns, and Catalyst's filter pushdown substitutes the full
-    # tokenize+feature tree per reference (the pushed filter re-tokenizes
-    # every row several times); (b) `kept` is consumed by THREE branches
+    # materialize the survivors ONCE: `kept` is consumed by THREE branches
     # below (exact-keeper agg, exact semi-join, simhash stage), each of
     # which would re-run the whole scan+filter subtree. One corpus pass +
     # one survivor-sized parquet barrier replaces ~6 corpus passes —
-    # measured 8.5s -> ~3s at sf1.0. Same build-once policy as the minhash
-    # signature table.
+    # measured 8.5s -> ~3s at sf1.0 (and the unpushed filter takes the
+    # barrier-write job itself from ~5s to ~1s). Same build-once policy as
+    # the minhash signature table.
     import tempfile
 
     _p = tempfile.mkdtemp(prefix="curate_kept_")
@@ -441,7 +446,15 @@ def training_mix_sample(
     rate = F.create_map(
         *[x for k, v in sorted(rates.items()) for x in (F.lit(k), F.lit(float(v)))]
     )[F.col(strat_col)]
-    return docs.filter(u < F.coalesce(rate, F.lit(0.0)))
+    # filter_unpushed: the keep predicate is always derived (md5 over salt,
+    # stratum and id), so it can never reach a scan's PushedFilters — but
+    # when the stratum column is itself computed (lang_pred from the
+    # tokenize tree), Catalyst's pushdown would substitute that whole tree
+    # per reference below the projection. Pinning the filter above the
+    # projection costs nothing and removes the duplication.
+    from rustserini_spark.session import filter_unpushed
+
+    return filter_unpushed(docs, u < F.coalesce(rate, F.lit(0.0)))
 
 
 def unigram_lm(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -763,9 +763,19 @@ def minhash_verified_pairs(
     arrs = docs.sparkSession.read.parquet(arrs_path)
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sh_a"))
     ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    # size-compatibility prune BEFORE the intersection (exact, same slack
+    # arithmetic as ngram_jaccard_pairs: r4 can raise jaccard by <= 5e-5, so
+    # check min/max set-size ratio against t - 1e-4 with one shingle of
+    # headroom) — J <= min(|a|,|b|)/max(|a|,|b|), so size-incompatible
+    # candidate pairs drop on two integer compares instead of an
+    # O(|a| + |b|) array_intersect; at the default banding most chance
+    # collisions are size-incompatible.
+    thr2 = float(threshold) - 1e-4
+    na, nb = F.size(F.col("_sh_a")), F.size(F.col("_sh_b"))
     return (
         cand.join(aa, "doc_a")
         .join(ab, "doc_b")
+        .filter((na >= thr2 * nb - 1) & (nb >= thr2 * na - 1))
         .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
         .withColumn(
             "jaccard",

@@ -63,6 +63,28 @@ def fan_out(df, target: int | None = None):
     return df
 
 
+def filter_unpushed(df, cond):
+    """Filter WITHOUT letting Catalyst push the predicate below the child
+    projection.
+
+    When a filter references columns computed by an expensive projection
+    (tokenize + feature trees here), Catalyst's pushdown substitutes the FULL
+    defining expression per reference below the project — the projection then
+    runs once per referenced column plus once for the surviving rows (the
+    optimization guide documents the same pathology for UDFs, §4.4; it holds
+    for large pure-expression trees too, measured 5x on the curation feature
+    pass at 50k docs). OR-ing the predicate with an always-false
+    non-deterministic term (``monotonically_increasing_id() < 0`` — the id is
+    non-negative by construction: partition id << 33 + row offset) makes the
+    predicate non-deterministic, which pins it above the projection while
+    changing nothing about which rows survive. Use ONLY when every referenced
+    column is computed — a raw-column predicate would lose its parquet
+    PushedFilters entry (derived-column predicates never had one)."""
+    from pyspark.sql import functions as F
+
+    return df.filter(cond | (F.monotonically_increasing_id() < F.lit(0)))
+
+
 def get_spark(
     app_name: str = "rustserini_spark",
     master: str | None = None,
