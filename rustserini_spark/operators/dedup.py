@@ -174,12 +174,21 @@ def build_minhash_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
+    with_sets: bool = False,
 ) -> DataFrame:
     """Materialize the minhash signature table (doc_id, h0..h{n-1}) to parquet
     and return the read-back DataFrame — the build half of the
     build-once/probe-many split (pass the result as ``sig`` to
     minhash_lsh_pairs). One corpus pass regardless of how many LSH calls
-    consume it; the table is ~n_hashes*32 bytes per doc, tiny next to text."""
+    consume it; the table is ~n_hashes*32 bytes per doc, tiny next to text.
+
+    ``with_sets``: additionally emit the doc's 64-bit-hashed shingle SET as a
+    sorted ``_arr`` column in the SAME aggregation — for an inline verify
+    that would otherwise pay a second tokenize pass over candidate docs.
+    Leave False for durable tables at corpus scale (the array column turns a
+    fixed-width table into a shingle-scale one); downstream consumers that
+    only need the lanes are unaffected either way because parquet scans
+    prune the column."""
     spark = docs.sparkSession
     # distinct=False: min over the shingle MULTISET equals min over the set
     # (min is idempotent under duplicates), so the 16-lane partial agg runs
@@ -187,9 +196,25 @@ def build_minhash_table(
     # doc-count-sized lane partials — the old distinct=True path shuffled
     # every (doc_id, shingle-string) row (~40 bytes x shingle count) just to
     # dedup before an agg that never needed the dedup.
-    minhash_signatures(
-        doc_shingles(docs, text_col, id_col, distinct=False), n_hashes
-    ).write.mode("overwrite").parquet(path)
+    shingled = doc_shingles(docs, text_col, id_col, distinct=False)
+    if with_sets:
+        h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+        based = shingled.select(
+            "doc_id", h.alias("_h"), F.xxhash64("shingle").alias("_sh64")
+        )
+        aggs = [
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("_h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+        table = based.groupBy("doc_id").agg(
+            *aggs, F.sort_array(F.collect_set("_sh64")).alias("_arr")
+        )
+    else:
+        table = minhash_signatures(shingled, n_hashes)
+    table.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -680,16 +705,27 @@ def minhash_verified_pairs(
     effect at op-construction time, then every branch reads the fixed-width
     columnar table.
     """
+    inline_arrs = None
     if sig is None:
         import tempfile
 
+        # inline build: emit the hashed shingle-set array IN THE SAME
+        # aggregation as the 16 lanes (with_sets) — the verify then attaches
+        # arrays straight from the signature barrier and the second
+        # (candidate-doc) tokenize pass + its separate barrier disappear.
+        # Durable/caller-supplied tables stay fixed-width; that path keeps
+        # the candidate-docs semi-join + re-tokenize below, which is the
+        # scale shape (verify work ~ candidate set, table ~ 16 longs/doc).
         sig = build_minhash_table(
             docs,
             sig_path or tempfile.mkdtemp(prefix="minhash_sig_"),
             text_col,
             id_col,
             n_hashes,
+            with_sets=True,
         )
+        inline_arrs = sig.select("doc_id", F.col("_arr").alias("_sh"))
+        sig = sig.drop("_arr")
     cand = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, n_bands, max_bucket, sig)
     # candidate pairs are consumed by TWO branches below (the docs-level
     # semi-join id set AND the pair-explode verify input), so materialize
@@ -710,12 +746,13 @@ def minhash_verified_pairs(
     # and degrades gracefully to a keyed shuffle join when a pathological
     # corpus makes it large (a forced broadcast would OOM the driver
     # exactly there).
-    cand_docs = (
-        cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
-    )
-    docs_c = docs.select(F.col(id_col), F.col(text_col)).join(
-        cand_docs, id_col, "left_semi"
-    )
+    if inline_arrs is None:
+        cand_docs = (
+            cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
+        )
+        docs_c = docs.select(F.col(id_col), F.col(text_col)).join(
+            cand_docs, id_col, "left_semi"
+        )
     # verify-side shingles are hashed to 64-bit ints MAP-SIDE, before the
     # set-dedup shuffle: every verify exchange (shingle distinct, the keyed
     # join, the (pair, shingle) agg) then carries an 8-byte long instead of a
@@ -734,11 +771,6 @@ def minhash_verified_pairs(
             "computes intersections for pairs sharing >= 1 shingle, and a "
             "zero-overlap candidate pair has jaccard 0 by definition"
         )
-    sh = (
-        doc_shingles(docs_c, text_col, id_col, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
     # set-array verify: the candidate-doc shingle SETS aggregate to one
     # array row per doc (~8 bytes x shingles-per-doc), a relation bounded by
     # the candidate-doc count — attach it to both pair sides and compute
@@ -757,10 +789,22 @@ def minhash_verified_pairs(
     # (The round-6 "array-payload variant 3x slower" measurement joined
     # EXPLODED shingle rows against wide arrays; aggregating to one array
     # row per doc first is what makes the attach joins broadcast-sized.)
-    arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_sh"))
-    arrs_path = tempfile.mkdtemp(prefix="minhash_varr_")
-    arrs.write.mode("overwrite").parquet(arrs_path)
-    arrs = docs.sparkSession.read.parquet(arrs_path)
+    if inline_arrs is None:
+        sh = (
+            doc_shingles(docs_c, text_col, id_col, distinct=False)
+            .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+            .distinct()
+        )
+        arrs = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_sh"))
+        arrs_path = tempfile.mkdtemp(prefix="minhash_varr_")
+        arrs.write.mode("overwrite").parquet(arrs_path)
+        arrs = docs.sparkSession.read.parquet(arrs_path)
+    else:
+        # inline path: the arrays already sit in the signature barrier
+        # (built with_sets in the same pass as the lanes) — the attach joins
+        # below restrict them to candidate docs, so the semi-join +
+        # re-tokenize machinery above was skipped entirely.
+        arrs = inline_arrs
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sh_a"))
     ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sh_b"))
     # size-compatibility prune BEFORE the intersection (exact, same slack
