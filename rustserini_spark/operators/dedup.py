@@ -633,12 +633,20 @@ def ngram_jaccard_pairs(
         .join(arr_b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("_arr_a", "_arr_b")))
     )
+    # filter_unpushed: Catalyst would otherwise push the threshold predicate
+    # into the join condition with the defining expression substituted,
+    # evaluating array_intersect 2-3x per candidate row (plan-verified); the
+    # pin keeps one intersection per pair in the projection.
+    from rustserini_spark.session import filter_unpushed
+
     return (
-        verified.withColumn(
-            "jaccard",
-            r4(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))),
+        filter_unpushed(
+            verified.withColumn(
+                "jaccard",
+                r4(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))),
+            ),
+            F.col("jaccard") >= threshold,
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -816,19 +824,28 @@ def minhash_verified_pairs(
     # collisions are size-incompatible.
     thr2 = float(threshold) - 1e-4
     na, nb = F.size(F.col("_sh_a")), F.size(F.col("_sh_b"))
+    # the size-compat prune SHOULD be pushed into the attach joins (cheap
+    # integer compares), but the threshold predicate must not be: pushed, it
+    # lands in a join condition with the full array_intersect expression
+    # substituted 2-3x per candidate row — filter_unpushed keeps exactly one
+    # intersection per pair in the projection.
+    from rustserini_spark.session import filter_unpushed
+
     return (
-        cand.join(aa, "doc_a")
-        .join(ab, "doc_b")
-        .filter((na >= thr2 * nb - 1) & (nb >= thr2 * na - 1))
-        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
-        .withColumn(
-            "jaccard",
-            r4(
-                F.col("_inter")
-                / (F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - F.col("_inter"))
+        filter_unpushed(
+            cand.join(aa, "doc_a")
+            .join(ab, "doc_b")
+            .filter((na >= thr2 * nb - 1) & (nb >= thr2 * na - 1))
+            .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .withColumn(
+                "jaccard",
+                r4(
+                    F.col("_inter")
+                    / (F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - F.col("_inter"))
+                ),
             ),
+            F.col("jaccard") >= threshold,
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
