@@ -643,11 +643,18 @@ def lsh_neardup_pairs(
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
         m = _stack(pdf["_vec"])
         n = np.sqrt((m * m).sum(axis=1))
-        cos = _r4_np((m @ m.T) / (n[:, None] * n[None, :]))
+        raw = (m @ m.T) / (n[:, None] * n[None, :])
         ai, bi = np.triu_indices(ids.size, k=1)
-        keep = cos[ai, bi] >= threshold
+        # survivors-only rounding (same slack argument as the exact verify:
+        # r4 raises a value by at most 5e-5, so prefiltering raw cosine at
+        # threshold - 1e-4 keeps every pair the rounded filter can keep) —
+        # a max_bucket-sized bucket would otherwise r4 its whole n^2 matrix.
+        pre = raw[ai, bi] >= (threshold - 1e-4)
+        ai, bi = ai[pre], bi[pre]
+        cos = _r4_np(raw[ai, bi])
+        keep = cos >= threshold
         return pd.DataFrame(
-            {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]], "cos": cos[ai[keep], bi[keep]]}
+            {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]], "cos": cos[keep]}
         )
 
     pairs = tagged.groupBy("bucket").applyInPandas(
