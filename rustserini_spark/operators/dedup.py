@@ -735,16 +735,20 @@ def minhash_verified_pairs(
         inline_arrs = sig.select("doc_id", F.col("_arr").alias("_sh"))
         sig = sig.drop("_arr")
     cand = minhash_lsh_pairs(docs, text_col, id_col, n_hashes, n_bands, max_bucket, sig)
-    # candidate pairs are consumed by TWO branches below (the docs-level
-    # semi-join id set AND the pair-explode verify input), so materialize
-    # them once — same build-once policy as the signature table; without
-    # this the banded self-join + distinct runs once per consumer (measured
-    # sf1.0: ~2x the candidate stage inside the verified op).
     import tempfile
 
-    cand_path = tempfile.mkdtemp(prefix="minhash_cand_")
-    cand.write.mode("overwrite").parquet(cand_path)
-    cand = docs.sparkSession.read.parquet(cand_path)
+    if inline_arrs is None:
+        # caller-supplied-table path: candidate pairs are consumed by TWO
+        # branches below (the docs-level semi-join id set AND the verify
+        # input), so materialize them once — same build-once policy as the
+        # signature table; without this the banded self-join + distinct runs
+        # once per consumer (measured sf1.0: ~2x the candidate stage inside
+        # the verified op). The inline path has a single consumer (arrays
+        # attach straight from the signature barrier), so it skips the
+        # barrier — one fewer write job.
+        cand_path = tempfile.mkdtemp(prefix="minhash_cand_")
+        cand.write.mode("overwrite").parquet(cand_path)
+        cand = docs.sparkSession.read.parquet(cand_path)
     # semi-join reduction AT THE DOCS LEVEL: only docs in a candidate pair
     # need shingling in the verify, so the candidate-id set filters the RAW
     # docs before tokenization — tokenize + shingle-dedup work scales with
