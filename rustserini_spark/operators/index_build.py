@@ -458,12 +458,14 @@ def build_index(
     # serializes the (pandas-UDF) encode stage; re-split it first. On a real
     # cluster the input table should already be partitioned and this is a no-op.
     # (JVM-side partition count: no Python RDD materialization.)
+    # count BEFORE the fan-out repartition: the count job then runs against
+    # the raw scan (column-pruned, no Exchange) instead of scanning through
+    # the repartition shuffle — same value, one cheaper job.
+    if n_docs is None:
+        n_docs = docs.count()
     parallelism = spark.sparkContext.defaultParallelism
     if docs._jdf.rdd().getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
-
-    if n_docs is None:
-        n_docs = docs.count()
     postings_raw = encode_postings(
         docs, text_col, id_col, analyzer, block_size, n_shards, seg_docs
     )
